@@ -1,0 +1,464 @@
+"""Deterministic WAL fixture generator (FIXTURES.md §2).
+
+Synthesizes replayable pgoutput frame tables — one row per XLogData frame,
+mirroring the reference's ``RawXLogData`` (/root/reference/src/stream.rs:60-69)
+plus a ``tag`` column (first payload byte) so control-plane scans prune via
+parquet min/max stats instead of re-reading every payload.
+
+Frame schema: (seq long, wal_start long, wal_end long, server_time long,
+tag int, data binary).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..protocol import constants as c, encoder as e
+from .repos import gen_repos_base, next_commit
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("wal_start", pa.int64()),
+        ("wal_end", pa.int64()),
+        ("server_time", pa.int64()),
+        ("tag", pa.int32()),
+        ("data", pa.binary()),
+    ]
+)
+
+REPOS_OID = 16384
+REPOS_FULL_OID = 16385
+REPOS_COLUMNS = [  # (flags bit0=key, name, type_oid, typmod)
+    (1, "repo", 25, -1),
+    (1, "path", 25, -1),
+    (0, "commit", 25, -1),
+    (0, "lang", 25, -1),
+    (0, "content", 25, -1),
+]
+STARS_COLUMN = (0, "stars", 23, -1)
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class WalBuilder:
+    """Accumulates pgoutput frames with monotonically advancing LSNs."""
+
+    def __init__(self, seed: int = 42, protocol_version: int = 2,
+                 start_lsn: int = 0x0100_0000):
+        self.rng = np.random.default_rng(seed)
+        self.protocol_version = protocol_version
+        self.lsn = start_lsn
+        self.seq = 0
+        self.next_xid = 1000
+        self.frames: list[tuple[int, int, int, int, int, bytes]] = []
+        self.commit_lsns: list[int] = []  # end_lsn of each commit, in order
+
+    def emit(self, body: bytes) -> int:
+        wal_start = self.lsn
+        wal_end = wal_start + len(body)
+        self.lsn = wal_end + 8  # gap models WAL record framing overhead
+        server_time = self.seq * 1_000 + 1  # µs since PG epoch, deterministic
+        self.frames.append(
+            (self.seq, _signed64(wal_start), _signed64(wal_end), server_time,
+             body[0], body)
+        )
+        self.seq += 1
+        return wal_start
+
+    def alloc_xid(self) -> int:
+        self.next_xid += 1
+        return self.next_xid
+
+    def relation(self, oid: int, relname: str, columns, replica_identity="d",
+                 namespace="public", xid=None):
+        self.emit(e.encode_relation(oid, namespace, relname, replica_identity,
+                                    columns, xid=xid))
+
+    def begin(self, xid: int | None = None) -> int:
+        xid = xid if xid is not None else self.alloc_xid()
+        # final_lsn (the commit record's position) isn't knowable up front in
+        # a generator; stamp the begin frame's own lsn — consumers only rely
+        # on commit's (commit_lsn, end_lsn).
+        self.emit(e.encode_begin(self.lsn, self.seq * 1_000, xid))
+        return xid
+
+    def commit(self) -> int:
+        commit_lsn = self.lsn
+        end_lsn = commit_lsn + 34 + 8
+        self.emit(e.encode_commit(commit_lsn, end_lsn, self.seq * 1_000))
+        self.lsn = max(self.lsn, end_lsn + 8)
+        self.commit_lsns.append(end_lsn)
+        return end_lsn
+
+    def to_table(self) -> pa.Table:
+        cols = list(zip(*self.frames)) if self.frames else [[]] * 6
+        return pa.table(
+            {name: pa.array(col, FRAME_SCHEMA.field(name).type)
+             for name, col in zip(FRAME_SCHEMA.names, cols)}
+        )
+
+
+def row_tuple(row: dict, columns=REPOS_COLUMNS, toast: set[str] = frozenset(),
+              only: set[str] | None = None):
+    """Build TupleData from a row dict for the given relation columns."""
+    tup = []
+    for _, name, _, _ in columns:
+        if only is not None and name not in only:
+            tup.append(("n", None))
+        elif name in toast:
+            tup.append(("u", None))
+        elif row.get(name) is None:
+            tup.append(("n", None))
+        else:
+            tup.append(("t", str(row[name])))
+    return tup
+
+
+class _OpPlanner:
+    """Deterministic DML planner over a live mirror of the base table."""
+
+    def __init__(self, base: pa.Table, seed: int):
+        self.rng = np.random.default_rng(seed ^ 0x0BADC0DE)
+        self.rows = {
+            (r["repo"], r["path"]): dict(r) for r in base.to_pylist()
+        }
+        self.keys = list(self.rows)
+        self.versions = {k: 0 for k in self.keys}
+        self.seed = seed
+        self.new_i = 0
+
+    def pick_live(self) -> dict:
+        while True:
+            k = self.keys[int(self.rng.integers(0, len(self.keys)))]
+            if k in self.rows:
+                return self.rows[k]
+
+    def make_insert(self) -> dict:
+        donor = self.pick_live()
+        self.new_i += 1
+        repo = donor["repo"]
+        path = f"src/new/file{self.new_i}.py"
+        row = {
+            "repo": repo, "path": path,
+            "commit": next_commit(self.seed, repo, path, 0),
+            "lang": "python",
+            "content": f"{repo}:{path}:v0\n# generated {self.new_i}",
+        }
+        self.rows[(repo, path)] = row
+        self.keys.append((repo, path))
+        self.versions[(repo, path)] = 0
+        return row
+
+    def make_update(self) -> dict:
+        row = dict(self.pick_live())
+        k = (row["repo"], row["path"])
+        v = self.versions[k] + 1
+        self.versions[k] = v
+        row["commit"] = next_commit(self.seed, row["repo"], row["path"], v)
+        row["content"] = f"{row['repo']}:{row['path']}:v{v}\n" + row["content"][:256]
+        self.rows[k] = row
+        return row
+
+    def make_delete(self) -> dict:
+        row = self.pick_live()
+        del self.rows[(row["repo"], row["path"])]
+        return row
+
+
+def gen_basic(n_base: int = 200, n_txns: int = 20, ops_per_txn: int = 10,
+              seed: int = 42) -> tuple[pa.Table, WalBuilder]:
+    """Relation + N txns of (Begin, Insert×k, Commit), protocol v2."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    planner = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    for _ in range(n_txns):
+        b.begin()
+        for _ in range(ops_per_txn):
+            b.emit(e.encode_insert(REPOS_OID, row_tuple(planner.make_insert())))
+        b.commit()
+    return base, b
+
+
+def gen_mixed_dml(n_base: int = 300, n_txns: int = 30, ops_per_txn: int = 12,
+                  seed: int = 42) -> tuple[pa.Table, WalBuilder]:
+    """Insert/update/delete mix across two relations: ``repos`` (REPLICA
+    IDENTITY default — updates carry 'K' or no old tuple, deletes 'K') and
+    ``repos_full`` (REPLICA IDENTITY FULL — old tuples are 'O')."""
+    base = gen_repos_base(n_base, seed)
+    half = n_base // 2
+    base_d, base_f = base.slice(0, half), base.slice(half)
+    b = WalBuilder(seed)
+    pd_, pf = _OpPlanner(base_d, seed), _OpPlanner(base_f, seed + 1)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS, "d")
+    b.relation(REPOS_FULL_OID, "repos_full", REPOS_COLUMNS, "f")
+    rng = np.random.default_rng(seed ^ 0xD31)
+    for _ in range(n_txns):
+        b.begin()
+        for _ in range(ops_per_txn):
+            full = bool(rng.integers(0, 2))
+            oid = REPOS_FULL_OID if full else REPOS_OID
+            pl = pf if full else pd_
+            op = rng.choice(["i", "u", "u", "d"])
+            if op == "i":
+                b.emit(e.encode_insert(oid, row_tuple(pl.make_insert())))
+            elif op == "u":
+                old = dict(pl.pick_live())
+                k = (old["repo"], old["path"])
+                v = pl.versions[k] + 1
+                pl.versions[k] = v
+                newr = dict(old)
+                newr["commit"] = next_commit(pl.seed, old["repo"], old["path"], v)
+                newr["content"] = f"{old['repo']}:{old['path']}:v{v}\n" + old["content"][:256]
+                pl.rows[k] = newr
+                if full:
+                    b.emit(e.encode_update(oid, row_tuple(newr),
+                                           row_tuple(old), "O"))
+                else:
+                    style = int(rng.integers(0, 2))
+                    if style == 0:  # key old tuple
+                        b.emit(e.encode_update(
+                            oid, row_tuple(newr),
+                            row_tuple(old, only={"repo", "path"}), "K"))
+                    else:  # no old tuple (key unchanged)
+                        b.emit(e.encode_update(oid, row_tuple(newr)))
+            else:
+                old = pl.make_delete()
+                if full:
+                    b.emit(e.encode_delete(oid, row_tuple(old), "O"))
+                else:
+                    b.emit(e.encode_delete(
+                        oid, row_tuple(old, only={"repo", "path"}), "K"))
+        b.commit()
+    return base, b
+
+
+def gen_toast(n_base: int = 100, n_txns: int = 10, seed: int = 42):
+    """Updates whose ``content`` column is an unchanged-TOAST ``'u'`` marker:
+    the sink must carry the old value forward."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    for _ in range(n_txns):
+        b.begin()
+        for _ in range(6):
+            old = dict(pl.pick_live())
+            k = (old["repo"], old["path"])
+            v = pl.versions[k] + 1
+            pl.versions[k] = v
+            newr = dict(old)
+            newr["commit"] = next_commit(pl.seed, old["repo"], old["path"], v)
+            # content untouched → sent as 'u'
+            pl.rows[k] = newr
+            b.emit(e.encode_update(
+                REPOS_OID, row_tuple(newr, toast={"content"}),
+                row_tuple(old, only={"repo", "path"}), "K"))
+        b.commit()
+    return base, b
+
+
+def gen_truncate(n_base: int = 120, seed: int = 42):
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.begin()
+    for _ in range(15):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    b.begin()
+    b.emit(e.encode_truncate([REPOS_OID]))
+    b.commit()
+    b.begin()
+    for _ in range(10):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    return base, b
+
+
+def gen_schema_evo(n_base: int = 100, seed: int = 42):
+    """Mid-stream Relation re-announcement adding ``stars int`` — drives the
+    schema-evolution path (relation diff → lake ADD COLUMN)."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.begin()
+    for _ in range(8):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    cols_v2 = REPOS_COLUMNS + [STARS_COLUMN]
+    b.relation(REPOS_OID, "repos", cols_v2)
+    b.begin()
+    for i in range(8):
+        row = pl.make_insert()
+        row["stars"] = i * 7
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row, cols_v2)))
+    b.commit()
+    return base, b
+
+
+def gen_streaming(n_base: int = 100, seed: int = 42):
+    """Two interleaved streamed transactions (protocol v2): segments
+    StreamStart..DML..StreamStop for xids A and B; A stream-commits,
+    B stream-aborts (its changes must vanish)."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl_a, pl_b = _OpPlanner(base, seed), _OpPlanner(base.slice(0, 0), seed + 9)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    xid_a, xid_b = b.alloc_xid(), b.alloc_xid()
+    for seg in range(3):
+        b.emit(e.encode_stream_start(xid_a, seg == 0))
+        for _ in range(5):
+            b.emit(e.encode_insert(REPOS_OID, row_tuple(pl_a.make_insert()),
+                                   xid=xid_a))
+        b.emit(e.encode_stream_stop())
+        b.emit(e.encode_stream_start(xid_b, seg == 0))
+        for j in range(4):
+            row = {
+                "repo": "orgB/doomed", "path": f"x{seg}_{j}.py",
+                "commit": "0" * 40, "lang": "python", "content": "aborted",
+            }
+            b.emit(e.encode_insert(REPOS_OID, row_tuple(row), xid=xid_b))
+        b.emit(e.encode_stream_stop())
+    commit_lsn = b.lsn
+    b.emit(e.encode_stream_commit(xid_a, commit_lsn, commit_lsn + 42,
+                                  b.seq * 1_000))
+    b.commit_lsns.append(commit_lsn + 42)
+    b.emit(e.encode_stream_abort(xid_b, xid_b))
+    return base, b
+
+
+def gen_two_phase(n_base: int = 80, seed: int = 42):
+    """BeginPrepare/DML/Prepare … later CommitPrepared (applied) and a second
+    prepared txn that RollbackPrepared discards."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+
+    xid1, xid2 = b.alloc_xid(), b.alloc_xid()
+    ts = b.seq * 1_000
+    p1 = b.lsn
+    b.emit(e.encode_begin_prepare(p1, p1 + 1, ts, xid1, "gid-commit"))
+    for _ in range(6):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.emit(e.encode_prepare(p1, b.lsn + 30, b.seq * 1_000, xid1, "gid-commit"))
+
+    p2 = b.lsn
+    b.emit(e.encode_begin_prepare(p2, p2 + 1, b.seq * 1_000, xid2, "gid-abort"))
+    for j in range(4):
+        row = {"repo": "orgR/rolled", "path": f"r{j}.py", "commit": "1" * 40,
+               "lang": "python", "content": "rolled back"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row)))
+    b.emit(e.encode_prepare(p2, b.lsn + 30, b.seq * 1_000, xid2, "gid-abort"))
+
+    cl = b.lsn
+    b.emit(e.encode_commit_prepared(cl, cl + 40, b.seq * 1_000, xid1, "gid-commit"))
+    b.commit_lsns.append(cl + 40)
+    b.emit(e.encode_rollback_prepared(p2, b.lsn + 20, ts, b.seq * 1_000, xid2,
+                                      "gid-abort"))
+    return base, b
+
+
+def gen_malformed(seed: int = 42):
+    """Well-formed stream with interleaved garbage frames — exercises the
+    quarantine path (error rows, not crashes; alloc-cap guards)."""
+    base = gen_repos_base(40, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.begin()
+    b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.emit(b"Z\x01\x02\x03")                      # unknown tag
+    b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()))[:-4])  # truncated
+    b.emit(b"I\x00\x00\x40\x00N\xff\xff")          # bogus column count
+    b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    return base, b
+
+
+def gen_bench(n_base: int = 100_000, n_txns: int = 2_000,
+              ops_per_txn: int = 100, seed: int = 42,
+              update_frac: float = 0.55, delete_frac: float = 0.05):
+    """Large Zipf-keyed mixed-DML stream for throughput + scaling runs.
+    Vectorized op planning (no per-op Python dict churn on the hot path)."""
+    base = gen_repos_base(n_base, seed)
+    repos = base.column("repo").to_pylist()
+    paths = base.column("path").to_pylist()
+    contents = base.column("content").to_pylist()
+    rng = np.random.default_rng(seed ^ 0xBE7C4)
+    b = WalBuilder(seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    n_ops = n_txns * ops_per_txn
+    # Zipf-hot row choice: reuse the skew already baked into base repo dist.
+    row_pick = rng.integers(0, n_base, n_ops)
+    op_pick = rng.random(n_ops)
+    versions = np.zeros(n_base, dtype=np.int32)
+    op_i = 0
+    new_i = 0
+    for _ in range(n_txns):
+        b.begin()
+        for _ in range(ops_per_txn):
+            r = int(row_pick[op_i])
+            u = op_pick[op_i]
+            op_i += 1
+            if u < update_frac:
+                versions[r] += 1
+                v = versions[r]
+                row = {
+                    "repo": repos[r], "path": paths[r],
+                    "commit": next_commit(seed, repos[r], paths[r], v),
+                    "lang": "python",
+                    "content": f"{repos[r]}:{paths[r]}:v{v}\n" + contents[r][:512],
+                }
+                b.emit(e.encode_update(
+                    REPOS_OID, row_tuple(row),
+                    row_tuple(row, only={"repo", "path"}), "K"))
+            elif u < update_frac + delete_frac:
+                b.emit(e.encode_delete(
+                    REPOS_OID,
+                    row_tuple({"repo": repos[r], "path": paths[r]},
+                              only={"repo", "path"}), "K"))
+            else:
+                new_i += 1
+                row = {
+                    "repo": repos[r], "path": f"src/gen/f{new_i}.py",
+                    "commit": next_commit(seed, repos[r], f"f{new_i}", 0),
+                    "lang": "python",
+                    "content": f"{repos[r]}:gen{new_i}\n" + contents[r][:256],
+                }
+                b.emit(e.encode_insert(REPOS_OID, row_tuple(row)))
+        b.commit()
+    return base, b
+
+
+def write_frames(table: pa.Table, path: str, rows_per_file: int = 100_000):
+    """Write the frame table as a directory of parquet files in seq order."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    n = table.num_rows
+    i = 0
+    file_i = 0
+    while i < n:
+        chunk = table.slice(i, rows_per_file)
+        pq.write_table(chunk, os.path.join(path, f"part-{file_i:05d}.parquet"))
+        i += rows_per_file
+        file_i += 1
+
+
+def write_base(table: pa.Table, path: str):
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)

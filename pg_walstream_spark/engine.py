@@ -1,0 +1,378 @@
+"""Replay engine: WAL frames → decoded events → txn gating → compaction →
+exactly-once LakeTable MERGE (SURVEY.md §7 stages 0-6, end-to-end).
+
+Micro-batch loop (same contract whether driven by bounded replay or
+Structured Streaming's foreachBatch — see ``streaming.py``):
+
+1. **Control scan** — read only control-tag frames of the batch (parquet
+   predicate pushdown on the tiny ``tag`` column), replay them sequentially
+   on the driver → DecodeContext (relation catalog timeline, stream spans,
+   txn index). Control frames are a small fraction of the stream (2 per
+   transaction), so this is broadcast-sized by construction.
+2. **Vectorized decode** — mapInArrow kernel over the full batch (narrow).
+3. **Transaction gating** — events stamped committed are applied; open /
+   prepared transactions spill to a pending store (parquet) and are
+   re-stamped when a later batch resolves their xid (commit → apply,
+   abort/rollback → discard). This is the reference's
+   transaction-buffered consumer (examples/safe-transaction-consumer).
+4. **Schema evolution** — relation-diff events → LakeTable.add_columns
+   before the merge (Iceberg ADD COLUMN analog,
+   /root/reference/src/protocol.rs:1430-1483).
+5. **Compaction** — salted-free max-by last-image reduce (see compact.py).
+6. **MERGE** — LSN-fenced idempotent commit per target table. A replayed
+   or duplicate batch is skipped by the fence, giving exactly-once end to
+   end under at-least-once batch delivery.
+
+Resume: engine state (batch index, catalog, open-txn carry) is persisted
+atomically per batch; restart replays from the checkpoint and the fence
+makes reprocessing idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lake.table import LakeTable, _atomic_write
+from .operators.compact import compact_changes
+from .operators.decode import (
+    CONTROL_TAGS,
+    EVENT_SPARK_DDL,
+    build_context,
+    decode_frames_df,
+)
+
+# pg type oid → spark type for schema evolution
+_PG_TYPE_TO_SPARK = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
+                     25: "string", 700: "float", 701: "double", 1043: "string",
+                     1114: "timestamp", 1184: "timestamp"}
+
+DML_TYPES = ("insert", "update", "delete")
+
+
+class ReplayEngine:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 protocol_version: int = 2):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.protocol_version = protocol_version
+        self.tables_dir = os.path.join(warehouse, "tables")
+        self.state_path = os.path.join(warehouse, "engine_state.json")
+        self.pending_dir = os.path.join(warehouse, "pending")
+        os.makedirs(self.tables_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ state
+
+    def _load_state(self) -> dict:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return json.load(f)
+        return {"batch_idx": 0, "catalog": {}, "open_xid": None,
+                "applied_lsn": 0, "metrics": []}
+
+    def _save_state(self, st: dict) -> None:
+        _atomic_write(self.state_path, json.dumps(st, indent=1))
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(os.path.join(self.tables_dir, name))
+
+    def bootstrap_table(self, name: str, base_df: DataFrame,
+                        key_columns: list[str], n_buckets: int = 16) -> LakeTable:
+        return LakeTable.create(
+            self.spark, os.path.join(self.tables_dir, name), base_df,
+            key_columns, n_buckets,
+        )
+
+    # ---------------------------------------------------------------- pending
+
+    def _pending_path(self) -> str:
+        return os.path.join(self.pending_dir, "events")
+
+    def _load_pending(self) -> DataFrame | None:
+        p = self._pending_path()
+        if os.path.exists(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return self.spark.read.schema(EVENT_SPARK_DDL).parquet(p)
+        return None
+
+    def _save_pending(self, df: DataFrame | None) -> None:
+        p = self._pending_path()
+        tmp = p + ".new"
+        if df is not None:
+            df.write.mode("overwrite").parquet(tmp)
+            import shutil
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            os.replace(tmp, p)
+        else:
+            import shutil
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+    # ----------------------------------------------------------------- replay
+
+    def replay_frames(self, frames_path: str, batch_frames: int = 500_000,
+                      stop_at_lsn: int | None = None) -> dict:
+        """Bounded replay of a frame directory in micro-batches of
+        ``batch_frames`` frames (seq order). Returns summary metrics."""
+        all_frames = self.spark.read.parquet(frames_path)
+        bounds = all_frames.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return {"batches": 0, "applied_lsn": self._load_state()["applied_lsn"]}
+        st = self._load_state()
+        lo = int(bounds["lo"])
+        hi = int(bounds["hi"])
+        batch_idx = 0
+        summary = []
+        for start in range(lo, hi + 1, batch_frames):
+            end = start + batch_frames - 1
+            if batch_idx < st["batch_idx"]:
+                batch_idx += 1
+                continue  # already applied (checkpoint resume)
+            batch = all_frames.filter(
+                (F.col("seq") >= start) & (F.col("seq") <= end)
+            )
+            rec = self.process_batch(batch, batch_idx, st,
+                                     stop_at_lsn=stop_at_lsn)
+            summary.append(rec)
+            batch_idx += 1
+            if rec.get("stopped"):
+                break
+        return {"batches": len(summary), "applied_lsn": st["applied_lsn"],
+                "records": summary}
+
+    # ------------------------------------------------------------- one batch
+
+    def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
+                      stop_at_lsn: int | None = None) -> dict:
+        # 1. control scan (tag pushdown) — driver-side sequential replay
+        control = (
+            frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
+            .select("seq", "wal_start", "data")
+            .sort("seq")
+            .collect()
+        )
+        carry_catalog = {
+            int(oid): [tuple(v) for v in versions]
+            for oid, versions in st.get("catalog", {}).items()
+        }
+        ctx = build_context(
+            [r.asDict() for r in control],
+            protocol_version=self.protocol_version,
+            carry_catalog=carry_catalog,
+            carry_open_xid=st.get("open_xid"),
+            carry_open_stream_xid=st.get("open_stream_xid"),
+        )
+
+        # 2. vectorized decode (narrow)
+        events = decode_frames_df(frames, ctx)
+
+        # 3. pending resolution: re-stamp prior open/prepared events with this
+        # batch's dispositions
+        pending = self._load_pending()
+        if pending is not None:
+            resolution = self._dispo_df(ctx)
+            pending = (
+                pending.drop("txn_status", "commit_lsn", "end_lsn", "commit_ts_us")
+                .join(F.broadcast(resolution), on="xid", how="left")
+                .withColumn("txn_status", F.coalesce("txn_status", F.lit("open")))
+                .select(*events.columns)
+            )
+            events = events.unionByName(pending)
+
+        dml = events.filter(
+            F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
+        )
+        committed = dml.filter(F.col("txn_status") == "committed")
+
+        # bounded replay: apply only transactions whose commit end_lsn is at
+        # or before the crossing commit (commit-boundary rule)
+        effective_stop = None
+        if stop_at_lsn is not None:
+            crossing = (
+                events.filter(
+                    (F.col("txn_status") == "committed")
+                    & F.col("end_lsn").isNotNull()
+                    & (F.col("end_lsn") >= stop_at_lsn)
+                )
+                .agg(F.min("end_lsn"))
+                .collect()[0][0]
+            )
+            if crossing is not None:
+                effective_stop = int(crossing)
+                committed = committed.filter(F.col("end_lsn") <= effective_stop)
+
+        committed = committed.localCheckpoint()
+        quarantined = events.filter(F.col("error").isNotNull()).count()
+        # next-batch pending must be materialized BEFORE the pending dir is
+        # replaced (the lazy plan still reads the old files)
+        nxt = dml.filter(
+            F.col("txn_status").isin(["open", "prepared"])
+        ).localCheckpoint()
+        n_pending = nxt.count()
+
+        # 4. schema evolution before merge
+        for change in ctx.schema_changes:
+            self._apply_schema_change(change)
+
+        # 5+6. per-table compaction + fenced merge
+        fence_floor = int(st.get("applied_lsn", 0))
+        batch_applied = fence_floor
+        tables = [
+            r["table_name"]
+            for r in committed.select("table_name").distinct().collect()
+        ]
+        merged = []
+        truncates = self._committed_truncates(events, effective_stop, fence_floor)
+        for tname in sorted(set(tables) | set(truncates)):
+            rec = self._merge_table(
+                tname, committed, truncates.get(tname), batch_idx, fence_floor
+            )
+            if rec:
+                merged.append(rec)
+                batch_applied = max(batch_applied, rec["applied_lsn"])
+
+        # max applied lsn this batch (even for tables with no DML)
+        hi_commit = (
+            committed.agg(F.max("end_lsn")).collect()[0][0]
+        )
+        if hi_commit is not None:
+            batch_applied = max(batch_applied, int(hi_commit))
+
+        # 7. carry-over: open + prepared events spill to pending
+        self._save_pending(nxt if n_pending else None)
+
+        # 8. persist engine state (atomic)
+        st["batch_idx"] = batch_idx + 1
+        st["catalog"] = {
+            str(oid): [list(v) for v in versions]
+            for oid, versions in ctx.catalog.items()
+        }
+        st["open_xid"] = getattr(ctx, "open_xid_carry", None)
+        st["open_stream_xid"] = getattr(ctx, "open_stream_carry", None)
+        st["applied_lsn"] = batch_applied
+        rec = {
+            "batch_idx": batch_idx,
+            "applied_lsn": batch_applied,
+            "tables": merged,
+            "pending": n_pending,
+            "quarantined": quarantined,
+            "schema_changes": len(ctx.schema_changes),
+            "stopped": effective_stop is not None,
+        }
+        st.setdefault("metrics", []).append(
+            {k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
+                                 "quarantined")}
+        )
+        self._save_state(st)
+        return rec
+
+    # ---------------------------------------------------------------- helpers
+
+    def _dispo_df(self, ctx) -> DataFrame:
+        names = ["open", "committed", "aborted", "prepared"]
+        rows = [
+            (int(x), names[i], int(cl) if names[i] == "committed" else None,
+             int(el) if names[i] == "committed" else None,
+             int(ts) if names[i] == "committed" else None)
+            for x, i, cl, el, ts in zip(
+                ctx.xid_sorted, ctx.xid_status,
+                ctx.xid_commit_lsn, ctx.xid_end_lsn, ctx.xid_ts,
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "xid long, txn_status string, commit_lsn long, end_lsn long, "
+            "commit_ts_us long",
+        )
+
+    def _apply_schema_change(self, change: dict) -> None:
+        new = change["new"]
+        old = change["old"]
+        tname = new[2]
+        t = self.table(tname)
+        if not t.exists:
+            return
+        old_names = set(old[4])
+        added = [
+            (n, _PG_TYPE_TO_SPARK.get(toid, "string"))
+            for n, toid in zip(new[4], new[6])
+            if n not in old_names
+        ]
+        if added:
+            t.add_columns(added, lsn=change.get("lsn"))
+
+    def _committed_truncates(self, events: DataFrame, effective_stop,
+                             fence_floor: int) -> dict:
+        tr = events.filter(
+            (F.col("event_type") == "truncate")
+            & (F.col("txn_status") == "committed")
+            & (F.col("end_lsn") > fence_floor)
+        )
+        if effective_stop is not None:
+            tr = tr.filter(F.col("end_lsn") <= effective_stop)
+        out: dict[str, tuple] = {}
+        for r in tr.select("truncate_tables", "commit_lsn", "seq",
+                           "end_lsn").collect():
+            for t in r["truncate_tables"] or []:
+                cur = out.get(t)
+                pos = (r["commit_lsn"], r["seq"], r["end_lsn"])
+                if cur is None or pos[:2] > cur[:2]:
+                    out[t] = pos
+        return out
+
+    def _merge_table(self, tname: str, committed: DataFrame,
+                     truncate_pos, batch_idx: int, fence_floor: int):
+        t = self.table(tname)
+        ev = committed.filter(
+            (F.col("table_name") == tname) & (F.col("end_lsn") > fence_floor)
+        )
+        if truncate_pos is not None:
+            # discard images at or before the truncate position
+            tc, tseq, _ = truncate_pos
+            ev = ev.filter(
+                (F.col("commit_lsn") > tc)
+                | ((F.col("commit_lsn") == tc) & (F.col("seq") > tseq))
+            )
+        if not t.exists:
+            # table appeared mid-stream: create empty from catalog schema
+            first = ev.select("key_columns").limit(1).collect()
+            schema_row = ev.limit(1).collect()
+            if not schema_row:
+                if truncate_pos is None:
+                    return None
+                key_cols = ["repo", "path"]
+                cols_ddl = "repo string, path string"
+                empty = self.spark.createDataFrame([], cols_ddl)
+                t = LakeTable.create(self.spark, os.path.join(self.tables_dir, tname),
+                                     empty, key_cols)
+            else:
+                keys = first[0]["key_columns"]
+                names = [k for k, _ in schema_row[0]["new_data"] or
+                         schema_row[0]["old_data"]]
+                ddl = ", ".join(f"`{n}` string" for n in names)
+                empty = self.spark.createDataFrame([], ddl)
+                t = LakeTable.create(self.spark, os.path.join(self.tables_dir, tname),
+                                     empty, list(keys))
+        snap = t.snapshot()
+        key_cols = snap["key_columns"]
+        data_cols = [(n, ty) for n, ty in snap["schema"] if n not in key_cols]
+        lsn_hi = ev.agg(F.max("end_lsn")).collect()[0][0]
+        if truncate_pos is not None:
+            lsn_hi = max(int(lsn_hi or 0), int(truncate_pos[2]))
+        if lsn_hi is None:
+            return None
+        changes = compact_changes(ev, key_cols, data_cols)
+        rec = t.merge(
+            self.spark, changes, applied_lsn=int(lsn_hi),
+            batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
+            truncate_first=truncate_pos is not None,
+        )
+        rec["table"] = tname
+        return rec

@@ -1,0 +1,306 @@
+"""LakeTable: a minimal transactional lake-table format (Iceberg-analog).
+
+No Iceberg/Delta jars ship in this sandbox, so the exactly-once sink
+semantics the reference's LSN feedback contract requires
+(/root/reference/src/lsn.rs:105-173 — monotonic applied-LSN, ack after
+apply) are implemented directly:
+
+- **Data layout**: parquet files hash-bucketed by key
+  (``pmod(xxhash64(key), n_buckets)``). A MERGE rewrites only the buckets a
+  batch touches (copy-on-write at bucket granularity) — at 10^10-event scale
+  a micro-batch touches a bounded subset of buckets, so commit cost scales
+  with change volume, not table size.
+- **Atomic commits**: JSON snapshot files ``meta/v{N}.json`` + an atomic
+  rename of ``meta/CURRENT``. Single-writer (the streaming driver), exactly
+  the reference's one-consumer-per-slot model.
+- **LSN fence**: every snapshot carries ``applied_lsn``. ``merge()`` is
+  idempotent: a replayed batch whose max commit LSN is ≤ the fence is
+  skipped — the direct analog of the reference's monotonic
+  ``update_applied_lsn`` CAS (applied ⇒ flushed).
+- **Schema evolution**: snapshot-level column adds; old files read through
+  the current schema yield nulls (parquet read-with-schema reconciliation),
+  mirroring Iceberg ADD COLUMN driven by Relation-message diffs.
+- **Lineage/metrics**: each snapshot records batch id, rows upserted/
+  deleted, buckets rewritten and wall time (per-partition lineage).
+
+MERGE join strategy: the target side is scanned narrowly (only affected
+buckets) and joins against the (typically much smaller) change set are left
+to AQE, which converts them to broadcast hash joins from runtime stats — the
+big target side is never shuffled in the common case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------ meta
+
+    @property
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "CURRENT"))
+
+    def _current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self) -> dict:
+        v = self._current_version()
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        v = 1
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v}.json")):
+            with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+                out.append(json.load(f))
+            v += 1
+        return out
+
+    def applied_lsn(self) -> int:
+        return int(self.snapshot()["properties"].get("applied_lsn", 0))
+
+    def _commit(self, snap: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        v = snap["version"]
+        _atomic_write(
+            os.path.join(self.meta_dir, f"v{v}.json"), json.dumps(snap, indent=1)
+        )
+        _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(v))
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        key_columns: list[str],
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        files = t._write_buckets(
+            df.withColumn("_bucket", t._bucket_expr(key_columns, n_buckets)),
+            snapshot_version=1,
+        )
+        snap = {
+            "version": 1,
+            "schema": schema,
+            "key_columns": key_columns,
+            "n_buckets": n_buckets,
+            "files": files,
+            "properties": {"applied_lsn": 0, **(properties or {})},
+            "lineage": [],
+        }
+        t._commit(snap)
+        return t
+
+    def add_columns(self, cols: list[tuple[str, str]], lsn: int | None = None) -> None:
+        """Metadata-only schema evolution (Iceberg ADD COLUMN analog)."""
+        snap = self.snapshot()
+        existing = {n for n, _ in snap["schema"]}
+        added = [(n, ty) for n, ty in cols if n not in existing]
+        if not added:
+            return
+        snap["version"] += 1
+        snap["schema"] = snap["schema"] + added
+        snap["lineage"] = snap["lineage"] + [
+            {"event": "add_columns", "columns": added, "lsn": lsn}
+        ]
+        self._commit(snap)
+
+    # ------------------------------------------------------------------ read
+
+    def _spark_schema_ddl(self, snap: dict) -> str:
+        return ", ".join(f"`{n}` {ty}" for n, ty in snap["schema"])
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        snap = self.snapshot()
+        files = []
+        sel = snap["files"] if buckets is None else {
+            str(b): snap["files"].get(str(b), []) for b in buckets
+        }
+        for fl in sel.values():
+            files.extend(fl)
+        ddl = self._spark_schema_ddl(snap)
+        if not files:
+            return spark.createDataFrame([], ddl)
+        # explicit schema → files missing late-added columns read as null
+        return spark.read.schema(ddl).parquet(*files)
+
+    # ----------------------------------------------------------------- write
+
+    def _bucket_expr(self, key_columns: list[str], n_buckets: int):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in key_columns]),
+                      F.lit(n_buckets)).cast("int")
+
+    def _write_buckets(self, df_with_bucket: DataFrame, snapshot_version: int) -> dict:
+        """Write partitioned by _bucket; returns {bucket: [files]}."""
+        out_dir = os.path.join(self.data_dir, f"s{snapshot_version}-{uuid.uuid4().hex[:8]}")
+        (
+            df_with_bucket.repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            d = os.path.join(out_dir, entry)
+            files[b] = sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return files
+
+    # ----------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        applied_lsn: int,
+        batch_id: int | str = 0,
+        truncate_first: bool = False,
+        extra_properties: dict | None = None,
+    ) -> dict:
+        """Exactly-once MERGE of a compacted change set.
+
+        ``changes`` schema: key columns + data columns (current snapshot
+        schema) + ``_op`` ('upsert'|'delete') + ``_toast`` (array<string> of
+        column names whose value must be carried forward from the target —
+        the unchanged-TOAST contract).
+
+        Returns the lineage record (skipped=True if fenced off).
+        """
+        t0 = time.monotonic()
+        snap = self.snapshot()
+        fence = int(snap["properties"].get("applied_lsn", 0))
+        if applied_lsn <= fence:
+            return {"batch_id": batch_id, "skipped": True, "fence": fence,
+                    "applied_lsn": applied_lsn}
+
+        key_cols = snap["key_columns"]
+        n_buckets = snap["n_buckets"]
+        data_cols = [n for n, _ in snap["schema"]]
+
+        changes = changes.withColumn(
+            "_bucket", self._bucket_expr(key_cols, n_buckets)
+        ).localCheckpoint()  # cut lineage: change set is reused in 3 joins
+
+        if truncate_first:
+            affected = list(range(n_buckets))
+        else:
+            affected = [
+                r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+            ]
+
+        target = self.read(spark, buckets=affected).withColumn(
+            "_bucket", self._bucket_expr(key_cols, n_buckets)
+        )
+        if truncate_first:
+            survivors = target.limit(0)
+        else:
+            survivors = target.join(
+                changes.select(key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+
+        upserts = changes.filter(F.col("_op") == "upsert")
+        plain = upserts.filter(F.size(F.coalesce(F.col("_toast"), F.array())) == 0)
+        toastful = upserts.filter(F.size(F.coalesce(F.col("_toast"), F.array())) > 0)
+
+        toast_parts = []
+        if not truncate_first:
+            tgt_renamed = target.select(
+                *key_cols,
+                *[F.col(cn).alias(f"_tgt_{cn}") for cn in data_cols
+                  if cn not in key_cols],
+            )
+            resolved = toastful.join(tgt_renamed, on=key_cols, how="inner").select(
+                *key_cols,
+                *[
+                    F.when(
+                        F.array_contains(F.coalesce(F.col("_toast"), F.array()), cn),
+                        F.col(f"_tgt_{cn}"),
+                    ).otherwise(F.col(cn)).alias(cn)
+                    for cn in data_cols if cn not in key_cols
+                ],
+                F.col("_bucket"),
+            )
+            matched = resolved.select(key_cols).distinct()
+            orphans = toastful.join(matched, on=key_cols, how="left_anti").select(
+                *key_cols,
+                *[cn for cn in data_cols if cn not in key_cols],
+                "_bucket",
+            )
+            toast_parts = [resolved, orphans]
+        else:
+            toast_parts = [
+                toastful.select(*key_cols,
+                                *[cn for cn in data_cols if cn not in key_cols],
+                                "_bucket")
+            ]
+
+        cols = [*data_cols, "_bucket"]
+        new_data = survivors.select(cols)
+        for p in [plain.select(cols), *toast_parts]:
+            new_data = new_data.unionByName(p.select(cols))
+
+        new_files = self._write_buckets(new_data, snap["version"] + 1)
+
+        files = dict(snap["files"]) if not truncate_first else {}
+        for b in affected:
+            files.pop(str(b), None)
+        for b, fl in new_files.items():
+            files[b] = fl
+
+        n_up = upserts.count()
+        n_del = changes.filter(F.col("_op") == "delete").count()
+        record = {
+            "batch_id": batch_id,
+            "applied_lsn": applied_lsn,
+            "upserts": n_up,
+            "deletes": n_del,
+            "buckets_rewritten": sorted(int(b) for b in new_files),
+            "truncated": truncate_first,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "skipped": False,
+        }
+        snap2 = {
+            "version": snap["version"] + 1,
+            "schema": snap["schema"],
+            "key_columns": key_cols,
+            "n_buckets": n_buckets,
+            "files": files,
+            "properties": {
+                **snap["properties"],
+                "applied_lsn": int(applied_lsn),
+                **(extra_properties or {}),
+            },
+            "lineage": snap["lineage"] + [record],
+        }
+        self._commit(snap2)
+        return record

@@ -1,0 +1,120 @@
+"""Pre-MERGE last-image compaction (classic CDC reduce, SURVEY.md §2f).
+
+Reduces a batch of committed change events to at most one row per key before
+the sink MERGE. Deliberately built on **hash aggregation with max-by**, not a
+ranking window: max/max_by are algebraic, so Spark performs map-side partial
+aggregation before the shuffle — a Zipf-hot key collapses to one row per
+input partition *before* any data moves, which neutralizes key skew where a
+``row_number() over (partition by key)`` window would funnel the entire hot
+key through one reducer. (This is the explicit skew-handling strategy of the
+north rule; the MERGE join's residual skew is handled by AQE skew-join.)
+
+Unchanged-TOAST semantics: a column sent as ``'u'`` carries the *previous*
+value forward. Within a batch that resolves to "the latest non-toast image's
+value"; if no in-batch image ever materialized the column, it stays in
+``_toast`` and the lake MERGE carries it forward from the target row
+(/root/reference/src/protocol.rs:310-328 skips 'u' columns the same way).
+
+Key-changing updates (old key ≠ new key) emit an extra delete of the old key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ORD = ("commit_lsn", "seq")  # total order: commit order, then WAL order
+
+
+def dml_images(events: DataFrame, key_columns: list[str],
+               data_columns: list[tuple[str, str]]) -> DataFrame:
+    """Project committed DML events of ONE table to flat key/value images.
+
+    ``data_columns``: (name, spark-type) for all non-key columns.
+    Output: ord cols, _op, key cols, value cols, per-column _t_<c> toast flag.
+    """
+    is_del = F.col("event_type") == "delete"
+    key_exprs = [
+        F.when(is_del, F.element_at("old_data", k))
+        .otherwise(F.element_at("new_data", k))
+        .alias(k)
+        for k in key_columns
+    ]
+    val_exprs = []
+    for c, ty in data_columns:
+        val_exprs.append(F.element_at("new_data", c).cast(ty).alias(c))
+        val_exprs.append(
+            F.coalesce(
+                F.array_contains(F.coalesce("new_toast", F.array()), c),
+                F.lit(False),
+            ).alias(f"_t_{c}")
+        )
+    base = events.select(
+        F.col("commit_lsn"),
+        F.col("seq"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("_op"),
+        *key_exprs,
+        *val_exprs,
+    )
+
+    # key-changing updates → synthetic delete of the old key (ordered just
+    # before the new image within the same (commit_lsn, seq) slot)
+    upd = events.filter(
+        (F.col("event_type") == "update") & F.col("old_data").isNotNull()
+    )
+    changed = upd
+    cond = None
+    for k in key_columns:
+        neq = F.element_at("old_data", k) != F.element_at("new_data", k)
+        cond = neq if cond is None else (cond | neq)
+    if cond is not None:
+        changed = upd.filter(cond & F.element_at("old_data", key_columns[0]).isNotNull())
+        extra = changed.select(
+            F.col("commit_lsn"),
+            F.col("seq"),
+            F.lit("delete").alias("_op"),
+            *[F.element_at("old_data", k).alias(k) for k in key_columns],
+            *[e for c, ty in data_columns for e in (
+                F.lit(None).cast(ty).alias(c), F.lit(False).alias(f"_t_{c}")
+            )],
+        )
+        base = base.unionByName(extra)
+    return base
+
+
+def compact_last_image(images: DataFrame, key_columns: list[str],
+                       data_columns: list[tuple[str, str]]) -> DataFrame:
+    """One row per key: last op wins; each column takes the latest non-toast
+    value; columns never materialized in-batch surface in ``_toast``."""
+    ord_struct = F.struct(*[F.col(c) for c in ORD])
+    aggs = [F.max_by("_op", ord_struct).alias("_op")]
+    for c, _ in data_columns:
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("_op") == "upsert") & ~F.col(f"_t_{c}"),
+                    F.struct(*[F.col(o) for o in ORD], F.col(c).alias("v")),
+                )
+            ).alias(f"_last_{c}")
+        )
+    out = images.groupBy(*key_columns).agg(*aggs)
+    sel = [*key_columns, "_op"]
+    for c, _ in data_columns:
+        sel.append(F.col(f"_last_{c}.v").alias(c))
+    toast = F.array_compact(
+        F.array(*[
+            F.when(
+                (F.col("_op") == "upsert") & F.col(f"_last_{c}").isNull(),
+                F.lit(c),
+            )
+            for c, _ in data_columns
+        ])
+    ).alias("_toast")
+    return out.select(*sel, toast)
+
+
+def compact_changes(events: DataFrame, key_columns: list[str],
+                    data_columns: list[tuple[str, str]]) -> DataFrame:
+    """events (one table, committed DML only) → MERGE-ready change set."""
+    return compact_last_image(
+        dml_images(events, key_columns, data_columns), key_columns, data_columns
+    )

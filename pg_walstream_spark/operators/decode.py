@@ -173,6 +173,7 @@ def build_context(
     protocol_version: int = 2,
     carry_catalog: dict | None = None,
     carry_open_xid: int | None = None,
+    carry_open_stream_xid: int | None = None,
 ) -> DecodeContext:
     """Sequentially replay the (rare) control frames on the driver to build
     the broadcast context. ``control_frames``: dicts with seq, wal_start,
@@ -200,6 +201,13 @@ def build_context(
         beg_x.append(carry_open_xid)
         beg_e.append(1 << 62)
         open_begin_idx = 0
+    if carry_open_stream_xid is not None:
+        # a StreamStart..StreamStop segment split by the batch boundary:
+        # everything up to the first StreamStop is in-stream with that xid
+        span_s.append(-(1 << 62))
+        span_e.append(1 << 62)
+        span_x.append(carry_open_stream_xid)
+        parser.in_stream_xid = carry_open_stream_xid
 
     for fr in control_frames:
         seq, lsn, data = fr["seq"], fr["wal_start"], bytes(fr["data"])
@@ -286,6 +294,9 @@ def build_context(
         ctx.xid_end_lsn = np.array([dispo[x][2] for x in xids], np.int64)
         ctx.xid_ts = np.array([dispo[x][3] for x in xids], np.int64)
     ctx.open_xid_carry = beg_x[open_begin_idx] if open_begin_idx is not None else None
+    open_spans = [x for s_, e_, x in zip(span_s, span_e, span_x)
+                  if e_ == 1 << 62]
+    ctx.open_stream_carry = open_spans[-1] if open_spans else None
     return ctx
 
 

@@ -1,0 +1,197 @@
+"""End-to-end replay: engine final lake state == golden applier state.
+
+The distributed analog of the reference's pgoutput_fidelity +
+safe_transaction_consumer integration tests: deterministic WAL in, final
+table state compared row-for-row with sha256(content) equality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pytest
+
+from pg_walstream_spark.engine import ReplayEngine
+from pg_walstream_spark.fixtures import wal_gen as wg
+from pg_walstream_spark.golden import golden_final_state
+
+
+def norm(rows: list[dict], cols: list[str]) -> list[tuple]:
+    out = []
+    for r in rows:
+        out.append(tuple(
+            None if r.get(c) is None else str(r.get(c)) for c in cols
+        ))
+    return sorted(out)
+
+
+def run_engine(spark, tmp_path, base_tables: dict[str, pa.Table],
+               frames: pa.Table, batch_frames: int = 10_000,
+               rows_per_file: int = 50_000, stop_at_lsn=None,
+               warehouse: str | None = None) -> ReplayEngine:
+    frames_dir = os.path.join(tmp_path, "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=rows_per_file)
+    eng = ReplayEngine(spark, warehouse or os.path.join(tmp_path, "wh"))
+    for name, tbl in base_tables.items():
+        base_path = os.path.join(tmp_path, f"base_{name}.parquet")
+        wg.write_base(tbl, base_path)
+        df = spark.read.parquet(base_path)
+        eng.bootstrap_table(name, df, ["repo", "path"], n_buckets=8)
+    eng.replay_frames(frames_dir, batch_frames=batch_frames,
+                      stop_at_lsn=stop_at_lsn)
+    return eng
+
+
+def assert_matches_golden(spark, eng: ReplayEngine, base_tables, frames,
+                          table: str = "repos", stop_at_lsn=None):
+    golden_rows, golden_lsn = golden_final_state(
+        {t: tbl for t, tbl in base_tables.items()}, frames, table=table,
+        stop_at_lsn=stop_at_lsn,
+    )
+    lake = eng.table(table)
+    got = [r.asDict() for r in lake.read(spark).collect()]
+    cols = [n for n, _ in lake.snapshot()["schema"]]
+    assert norm(got, cols) == norm(golden_rows, cols), (
+        f"{table}: {len(got)} lake rows vs {len(golden_rows)} golden"
+    )
+    # per-row invariant: sha256(content) equality (BASELINE.json input_hint)
+    g_sha = {(r["repo"], r["path"]): r["content_sha256"] for r in golden_rows}
+    for r in got:
+        if r.get("content") is not None:
+            assert hashlib.sha256(r["content"].encode()).hexdigest() == \
+                g_sha[(r["repo"], r["path"])]
+    assert lake.applied_lsn() == golden_lsn
+
+
+@pytest.mark.parametrize("batch_frames", [10_000, 37])
+def test_e2e_basic(spark, tmp_path, batch_frames):
+    base, b = wg.gen_basic(n_base=60, n_txns=8, ops_per_txn=5)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=batch_frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_mixed_dml_two_tables(spark, tmp_path):
+    base, b = wg.gen_mixed_dml(n_base=80, n_txns=12, ops_per_txn=8)
+    frames = b.to_table()
+    bases = {"repos": base.slice(0, 40), "repos_full": base.slice(40)}
+    eng = run_engine(spark, str(tmp_path), bases, frames, batch_frames=50)
+    assert_matches_golden(spark, eng, bases, frames, "repos")
+    assert_matches_golden(spark, eng, bases, frames, "repos_full")
+
+
+def test_e2e_toast_carry_forward(spark, tmp_path):
+    base, b = wg.gen_toast(n_base=40, n_txns=5)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=20)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_truncate(spark, tmp_path):
+    base, b = wg.gen_truncate(n_base=40)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_schema_evolution(spark, tmp_path):
+    base, b = wg.gen_schema_evo(n_base=30)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    lake = eng.table("repos")
+    cols = [n for n, _ in lake.snapshot()["schema"]]
+    assert "stars" in cols
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_streaming_txns(spark, tmp_path):
+    base, b = wg.gen_streaming(n_base=30)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=13)  # forces segment splits across batches
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_two_phase(spark, tmp_path):
+    base, b = wg.gen_two_phase(n_base=25)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=9)  # prepare/commit_prepared in different batches
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
+def test_e2e_malformed_quarantine(spark, tmp_path):
+    base, b = wg.gen_malformed()
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    st = eng._load_state()
+    assert sum(m["quarantined"] for m in st["metrics"]) == 3
+
+
+def test_e2e_bounded_replay(spark, tmp_path):
+    base, b = wg.gen_basic(n_base=40, n_txns=6, ops_per_txn=5)
+    frames = b.to_table()
+    stop = b.commit_lsns[2] + 1  # between txn 3 and 4 → txn 4 delivered whole
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     stop_at_lsn=stop)
+    assert_matches_golden(spark, eng, {"repos": base}, frames,
+                          stop_at_lsn=stop)
+
+
+def test_e2e_duplicate_batch_fenced(spark, tmp_path):
+    """At-least-once delivery: replaying the whole stream again must be a
+    no-op thanks to the LSN fence."""
+    base, b = wg.gen_basic(n_base=40, n_txns=5, ops_per_txn=4)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    lake = eng.table("repos")
+    v1 = lake.snapshot()["version"]
+    fence1 = lake.applied_lsn()
+    # simulate a restarted engine with lost state but same lake (worst case)
+    eng2 = ReplayEngine(spark, eng.warehouse)
+    os.remove(eng2.state_path)
+    eng2.replay_frames(os.path.join(str(tmp_path), "frames"))
+    assert lake.applied_lsn() == fence1
+    assert_matches_golden(spark, eng2, {"repos": base}, frames)
+    # fence skipped every merge → lineage shows no new applied batches
+    assert all(
+        rec.get("skipped") or rec["applied_lsn"] <= fence1
+        for rec in lake.snapshot()["lineage"]
+    )
+    assert lake.snapshot()["version"] >= v1
+
+
+def test_e2e_restart_resume_mid_replay(spark, tmp_path):
+    """Kill after batch k, resume from checkpoint → same final state."""
+    base, b = wg.gen_mixed_dml(n_base=60, n_txns=10, ops_per_txn=6)
+    frames = b.to_table()
+    bases = {"repos": base.slice(0, 30), "repos_full": base.slice(30)}
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=50_000)
+    eng = ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    for name, tbl in bases.items():
+        p = os.path.join(str(tmp_path), f"b_{name}.parquet")
+        wg.write_base(tbl, p)
+        eng.bootstrap_table(name, spark.read.parquet(p), ["repo", "path"], 8)
+
+    # run only the first 2 micro-batches, then "crash"
+    from pyspark.sql import functions as F
+
+    all_frames = spark.read.parquet(frames_dir)
+    st = eng._load_state()
+    for i, start in enumerate(range(0, 60, 30)):
+        batch = all_frames.filter(
+            (F.col("seq") >= start) & (F.col("seq") < start + 30)
+        )
+        eng.process_batch(batch, i, st)
+
+    # resume: fresh engine object, same warehouse/checkpoint
+    eng2 = ReplayEngine(spark, eng.warehouse)
+    eng2.replay_frames(frames_dir, batch_frames=30)
+    assert_matches_golden(spark, eng2, bases, frames, "repos")
+    assert_matches_golden(spark, eng2, bases, frames, "repos_full")

@@ -1,0 +1,121 @@
+"""Typed-deserialization surface: PostgreSQL text-format → Spark types.
+
+Column-expression re-expression of the reference's serde deserializer
+(/root/reference/src/deserializer.rs): values travel as wire text and are
+typed lazily at the consumer's request, with PG's text-format coercions.
+
+- ``pg_text_to_bool``: the full PG bool text set t/f/true/false/1/0/on/off/
+  yes/no (case-insensitive), matching src/deserializer.rs:102-114 — wider
+  than Spark's native cast (which rejects on/off).
+- ``typed_columns``: strict typed projection (cast; malformed → error, via
+  ANSI or null depending on session).
+- ``try_typed`` + ``field_errors``: lenient mode — per-field failures yield
+  type defaults plus a collected FieldError list, mirroring
+  ``try_deserialize_row`` (src/deserializer.rs:1052+, defaults
+  0/false/""/None).
+- ``pg_timestamp``: µs since the PostgreSQL epoch (2000-01-01) → timestamp
+  (src/types.rs:126-139).
+- ``lsn_str``/``str_to_lsn_col``: 64-bit LSN ↔ "HI/LO" hex display form
+  (src/types.rs:184-224).
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_TRUE = ("t", "true", "1", "on", "y", "yes")
+_FALSE = ("f", "false", "0", "off", "n", "no")
+
+def _default_for(ty: str) -> Column:
+    if ty == "boolean":
+        return F.lit(False)
+    if ty == "string":
+        return F.lit("")
+    return F.lit(0).cast(ty)
+
+
+def pg_text_to_bool(col) -> Column:
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    return (
+        F.when(c.isin(*_TRUE), F.lit(True))
+        .when(c.isin(*_FALSE), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def _cast_one(col: Column, ty: str, lenient: bool) -> Column:
+    if ty == "boolean":
+        return pg_text_to_bool(col)
+    if lenient:
+        return col.try_cast(ty)
+    return col.cast(ty)
+
+
+def typed_columns(df, spec: dict[str, str], source_col: str = "new_data"):
+    """Strict typed projection of a map column: spec {name: spark_type}."""
+    return df.select(
+        *[
+            _cast_one(F.element_at(source_col, n), ty, lenient=False).alias(n)
+            for n, ty in spec.items()
+        ]
+    )
+
+
+def try_typed(df, spec: dict[str, str], source_col: str = "new_data"):
+    """Lenient typed projection: per-field failures substitute type defaults
+    (0 / false / "" per the reference's lenient mode) and are collected into
+    an ``_errors`` array<struct<field,value,message>>."""
+    cols = []
+    err_structs = []
+    for n, ty in spec.items():
+        raw = F.element_at(source_col, n)
+        parsed = _cast_one(raw, ty, lenient=True)
+        default = _default_for(ty)
+        failed = raw.isNotNull() & parsed.isNull()
+        cols.append(
+            F.when(failed, default).otherwise(parsed).alias(n)
+        )
+        err_structs.append(
+            F.when(
+                failed,
+                F.struct(
+                    F.lit(n).alias("field"),
+                    raw.alias("value"),
+                    F.lit(f"invalid {ty}").alias("message"),
+                ),
+            )
+        )
+    errors = F.array_compact(F.array(*err_structs)).alias("_errors")
+    return df.select(*cols, errors)
+
+
+def field_errors(df):
+    """Explode the lenient-mode error column into (field, value, message)."""
+    return df.select(F.explode("_errors").alias("e")).select(
+        "e.field", "e.value", "e.message"
+    )
+
+
+def pg_timestamp(col) -> Column:
+    """µs since the PostgreSQL epoch (2000-01-01T00:00:00Z) → timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(c + F.lit(946_684_800_000_000))
+
+
+def lsn_str(col) -> Column:
+    """64-bit LSN → PostgreSQL's HI/LO hex display form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(
+        "/",
+        F.upper(F.hex(F.shiftrightunsigned(c, 32))),
+        F.upper(F.hex(c.bitwiseAND(F.lit(0xFFFFFFFF)))),
+    )
+
+
+def str_to_lsn_col(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    hi = F.conv(F.split(c, "/").getItem(0), 16, 10).cast("long")
+    lo = F.conv(F.split(c, "/").getItem(1), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)

@@ -1,0 +1,113 @@
+"""Structured Streaming front-end + typed-deserialization functions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from pg_walstream_spark.engine import ReplayEngine
+from pg_walstream_spark.fixtures import wal_gen as wg
+from pg_walstream_spark.functions import (
+    field_errors,
+    lsn_str,
+    pg_text_to_bool,
+    pg_timestamp,
+    str_to_lsn_col,
+    try_typed,
+    typed_columns,
+)
+from pg_walstream_spark.golden import golden_final_state
+from pg_walstream_spark.streaming import start_stream
+
+
+def test_streaming_available_now_matches_golden(spark, tmp_path):
+    base, b = wg.gen_mixed_dml(n_base=60, n_txns=8, ops_per_txn=6)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=30)  # several files
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bases = {"repos": base.slice(0, 30), "repos_full": base.slice(30)}
+    for n, t in bases.items():
+        p = os.path.join(str(tmp_path), f"{n}.parquet")
+        wg.write_base(t, p)
+        eng.bootstrap_table(n, spark.read.parquet(p), ["repo", "path"], 8)
+
+    q = start_stream(
+        spark, frames_dir, wh,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    for tname in ("repos", "repos_full"):
+        golden_rows, glsn = golden_final_state(bases, frames, tname)
+        lake = eng.table(tname)
+        got = sorted(
+            (r["repo"], r["path"], r["content"])
+            for r in lake.read(spark).collect()
+        )
+        want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+        assert got == want
+        assert lake.applied_lsn() == glsn
+
+
+def test_pg_bool_full_text_set(spark):
+    vals = ["t", "f", "TRUE", "false", "1", "0", "on", "OFF", "yes", "no",
+            "garbage", None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(pg_text_to_bool("v")).collect()]
+    assert got == [True, False, True, False, True, False, True, False, True,
+                   False, None, None]
+
+
+def test_typed_columns_and_lenient(spark):
+    rows = [
+        Row(new_data={"id": "42", "score": "1.5", "ok": "on", "name": "a"}),
+        Row(new_data={"id": "oops", "score": "x", "ok": "maybe", "name": None}),
+    ]
+    df = spark.createDataFrame(rows)
+    spec = {"id": "bigint", "score": "double", "ok": "boolean", "name": "string"}
+    strict = typed_columns(
+        df.where(F.element_at("new_data", "id") == "42"), spec
+    ).collect()[0]
+    assert (strict["id"], strict["score"], strict["ok"], strict["name"]) == (
+        42, 1.5, True, "a")
+
+    lenient = try_typed(df, spec).collect()
+    good, bad = lenient
+    assert good["_errors"] == []
+    assert (bad["id"], bad["score"], bad["ok"]) == (0, 0.0, False)
+    errs = {e["field"]: e["value"] for e in bad["_errors"]}
+    assert errs == {"id": "oops", "score": "x", "ok": "maybe"}
+    err_df = field_errors(try_typed(df, spec))
+    assert err_df.count() == 3
+
+
+def test_lsn_and_timestamp_functions(spark):
+    df = spark.createDataFrame([(0x16B3748, 0, "AB/16B3748")],
+                               "lsn long, ts long, s string")
+    r = df.select(
+        lsn_str("lsn").alias("l"),
+        pg_timestamp("ts").cast("string").alias("t"),
+        str_to_lsn_col("s").alias("back"),
+    ).collect()[0]
+    assert r["l"] == "0/16B3748"
+    assert r["t"].startswith("2000-01-01 00:00:00")
+    assert r["back"] == (0xAB << 32) | 0x16B3748
+
+
+def test_lsn_roundtrip_property(spark):
+    df = spark.range(1, 50).select(
+        (F.col("id") * 982451653 % F.lit(2**62)).alias("lsn")
+    )
+    r = df.select(
+        F.max(
+            (str_to_lsn_col(lsn_str(F.col("lsn"))) == F.col("lsn")).cast("int")
+        ).alias("mx"),
+        F.min(
+            (str_to_lsn_col(lsn_str(F.col("lsn"))) == F.col("lsn")).cast("int")
+        ).alias("mn"),
+    ).collect()[0]
+    assert r["mn"] == 1 and r["mx"] == 1

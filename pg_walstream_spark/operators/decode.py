@@ -843,6 +843,10 @@ def _decode_control_rows(
 def decode_frames_df(frames_df, ctx: DecodeContext):
     """frames DataFrame → ChangeEvent DataFrame via mapInArrow (narrow,
     no shuffle; whole-stage codegen resumes on the other side)."""
+    from .. import ensure_shipped
+
+    ensure_shipped(frames_df.sparkSession)
+
     def fn(batches):
         for b in batches:
             t = decode_batch(b, ctx)

@@ -1,0 +1,709 @@
+"""Query registry powering __spark_entry__: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a DuckDB
+oracle string over the same parquet tables.
+
+Column names are aligned 1:1 between the Spark plan and the oracle SQL (the
+driver's compare hashes values under sorted column names). Aggregate types
+are pinned (DuckDB sums are cast to BIGINT/DOUBLE to match Spark).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .analytics import dedup as dd, multimodal as mm, similarity as sim, text as tx
+from .functions import lsn_str, pg_text_to_bool
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# CDC-semantic operators over the events stream table
+# ---------------------------------------------------------------------------
+
+
+def cdc_last_image(spark, sf_dir):
+    """Per-key last-image compaction (the engine's stage 5) over events:
+    max-by aggregation → map-side partial agg, skew-proof."""
+    ev = _t(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ord_).alias("last_event_id"),
+        F.max_by("event_type", ord_).alias("last_event_type"),
+        F.round(F.max_by("value", ord_), 6).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+CDC_LAST_IMAGE_SQL = """
+SELECT user_id, last_event_id, last_event_type, last_value, n_events FROM (
+  SELECT user_id,
+         event_id AS last_event_id, event_type AS last_event_type,
+         round(value, 6) AS last_value,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def cdc_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+CDC_EVENT_COUNTS_SQL = """
+SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def cdc_commit_gate(spark, sf_dir):
+    """Bounded-replay gate: apply only events at or below the watermark
+    (60% of max id — the stop_at_lsn analog), at whole-key granularity."""
+    ev = _t(spark, sf_dir, "events")
+    gate = ev.agg((F.max("event_id") * 0.6).cast("long")).collect()[0][0]
+    return (
+        ev.filter(F.col("event_id") <= gate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_applied"),
+             F.max("event_id").alias("high_watermark"))
+    )
+
+
+CDC_COMMIT_GATE_SQL = """
+SELECT event_type, count(*) AS n_applied, max(event_id) AS high_watermark
+FROM events
+WHERE event_id <= (SELECT CAST(max(event_id) * 0.6 AS BIGINT) FROM events)
+GROUP BY event_type
+"""
+
+
+def cdc_fence_dedup(spark, sf_dir):
+    """Duplicate suppression: first event per (user, type, value) — the
+    at-least-once fence analog."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type",
+                      F.round("value", 6).alias("value_r")).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+CDC_FENCE_DEDUP_SQL = """
+SELECT user_id, event_type, round(value, 6) AS value_r,
+       min(event_id) AS first_event_id, count(*) AS n_dups
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def cdc_pg_epoch_ts(spark, sf_dir):
+    """PG-epoch µs → timestamp conversion (src/types.rs:126-139 analog)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").limit(0).unionByName(
+        _t(spark, sf_dir, "events")
+    )
+    us = (F.col("event_id") * 1_000_000 + 946_684_800_000_000)
+    return ev.select(
+        "event_id",
+        F.date_format(F.timestamp_micros(us), "yyyy-MM-dd HH:mm:ss").alias(
+            "pg_ts"
+        ),
+    )
+
+
+CDC_PG_EPOCH_TS_SQL = """
+SELECT event_id,
+       strftime(make_timestamp(event_id * 1000000 + 946684800000000),
+                '%Y-%m-%d %H:%M:%S') AS pg_ts
+FROM events
+"""
+
+
+def cdc_lsn_format(spark, sf_dir):
+    """LSN HI/LO hex display (src/types.rs:184-224 analog), event_id*2^20
+    as a synthetic 64-bit LSN."""
+    ev = _t(spark, sf_dir, "events")
+    lsn = (F.col("event_id") * F.lit(1048576)).cast("long")
+    return ev.select("event_id", lsn_str(lsn).alias("lsn_display"))
+
+
+CDC_LSN_FORMAT_SQL = """
+SELECT event_id,
+       upper(printf('%x', (event_id * 1048576) >> 32)) || '/' ||
+       upper(printf('%x', (event_id * 1048576) & 4294967295)) AS lsn_display
+FROM events
+"""
+
+
+def pg_bool_coercion(spark, sf_dir):
+    """PG bool text-format coercion parity (deserializer.rs:102-114)."""
+    ev = _t(spark, sf_dir, "events")
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in
+                  ["t", "f", "true", "off", "yes", "no", "1", "0", "on",
+                   "maybe"]]),
+        (F.col("event_id") % 10 + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id", word.alias("bool_text"),
+        pg_text_to_bool(word).alias("bool_value"),
+    )
+
+
+PG_BOOL_COERCION_SQL = """
+SELECT event_id, bool_text,
+       CASE WHEN bool_text IN ('t','true','1','on','y','yes') THEN TRUE
+            WHEN bool_text IN ('f','false','0','off','n','no') THEN FALSE
+            ELSE NULL END AS bool_value
+FROM (
+  SELECT event_id,
+         (['t','f','true','off','yes','no','1','0','on','maybe'])
+         [CAST(event_id % 10 AS INT) + 1] AS bool_text
+  FROM events)
+"""
+
+
+def cdc_typed_props(spark, sf_dir):
+    """Lazy typed extraction from the text payload (props JSON) — the
+    deserializer's int fast path, grouped."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", "([0-9]+)", 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_bad"),
+    )
+
+
+CDC_TYPED_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+       CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_bad
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-ish breadth
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(cu.c_nationkey == su.s_nationkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers_window(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return (
+        spend.join(F.broadcast(cu), spend.o_custkey == cu.c_custkey)
+        .select("o_custkey", "c_name", "total_spend", "n_orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, c_name, total_spend, n_orders, rank FROM (
+  SELECT o_custkey, c_name, total_spend, n_orders,
+         row_number() OVER (ORDER BY total_spend DESC, o_custkey) AS rank
+  FROM (SELECT o_custkey,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+  JOIN customer ON o_custkey = c_custkey)
+WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (documents)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_SQL = (
+    "SELECT DISTINCT doc_id AS id, unnest([substr(lower(text), x, 3) "
+    "for x in range(1, greatest(length(text) - 1, 1))]) AS sh FROM documents"
+)
+
+
+def minhash_signatures(spark, sf_dir):
+    return dd.minhash_signature(_t(spark, sf_dir, "documents"), k=8)
+
+
+MINHASH_SIG_SQL = """
+SELECT id AS doc_id,
+""" + ",\n".join(
+    f"       min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
+) + f"""
+FROM ({_SHINGLE_SQL}) GROUP BY id
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
+
+
+MINHASH_LSH_SQL = f"""
+WITH sig AS (
+  SELECT id AS doc_id,
+""" + ",\n".join(
+    f"         min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
+) + f"""
+  FROM ({_SHINGLE_SQL}) GROUP BY id
+), bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS band_key FROM sig"
+    for b in range(4)
+) + """
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+_TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def simhash_signatures(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = []
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        shift = j % 4
+        bit_sums.append(
+            f"CAST(sum((((strpos('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1)"
+            f" >> {shift}) & 1) * 2 - 1) AS BIGINT) AS s{j}"
+        )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_TOKEN_SQL})) AS h FROM documents
+), sums AS (
+  SELECT doc_id, {', '.join(bit_sums)} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SIMHASH_SIG_SQL = _simhash_sql(16)
+
+
+def dedup_simhash_groups(spark, sf_dir):
+    return dd.simhash_dup_groups(_t(spark, sf_dir, "documents"), bits=16)
+
+
+SIMHASH_GROUPS_SQL = f"""
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM ({_simhash_sql(16)}) GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.65, max_shingle_freq=200
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+ok AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY sh)
+       WHERE df <= 200),
+shf AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM ok)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.65
+"""
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    return dd.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
+                                  threshold=0.45)
+
+
+EMBED_COSINE_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)
+         AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    return sim.ann_bruteforce(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+ANN_BRUTE_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.embedding, c.embedding) / (q.nrm * c.nrm), 6)
+           AS cos
+  FROM n q JOIN n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4))
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    return sim.ann_ivf(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+        n_centroids=8, n_probe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def lang_id(spark, sf_dir):
+    return tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    hits = []
+    for lang in sorted(tx.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        hits.append(
+            f"len(list_filter({_TOKEN_SQL}, x -> list_contains([{words}], x)))"
+            f" AS hits_{lang}"
+        )
+    langs = sorted(tx.STOPWORDS)
+    mx = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + mx + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+SELECT doc_id, {case} AS predicted_lang
+FROM (SELECT doc_id, {', '.join(hits)} FROM documents)
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+
+def text_quality(spark, sf_dir):
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(CAST(length(text)
+             - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(len(list_filter({_TOKEN_SQL},
+             x -> list_contains(['the','and','of','to','in','is','that','for',
+                                 'with','a'], x))) AS DOUBLE)
+             / greatest(len({_TOKEN_SQL}), 1), 6) AS stopword_ratio,
+       round(
+         0.4 * round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE) / greatest(length(text), 1), 6)
+       + 0.3 * least(length(text) / 2000.0, 1.0)
+       + 0.2 * round(CAST(len(list_filter({_TOKEN_SQL},
+               x -> list_contains(['the','and','of','to','in','is','that',
+                                   'for','with','a'], x))) AS DOUBLE)
+               / greatest(len({_TOKEN_SQL}), 1), 6)
+       + 0.1 * (1 - least(round(CAST(length(text)
+               - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) * 10, 1.0)), 6) AS quality
+FROM documents
+"""
+
+
+def token_stats(spark, sf_dir):
+    return tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+         AS bpe_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 1), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_t(spark, sf_dir, "documents"), w=8)
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min([md5(substr(lower(text), x, 8))
+                 for x in range(1, greatest(length(text) - 6, 1))])
+         AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_byte_features(spark, sf_dir):
+    media = mm.docs_as_media(_t(spark, sf_dir, "documents"))
+    return mm.byte_histogram_features(media)
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    media = mm.docs_as_media(_t(spark, sf_dir, "documents"))
+    return mm.frame_sample(media).select(
+        "media_id", F.size("sampled_bytes").alias("n_samples")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC engine stages (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def wal_decode_counts(spark, sf_dir):
+    """Vectorized decode of a deterministic in-memory WAL fixture → event
+    counts by type (the decode stage through the driver contract)."""
+    from .fixtures import wal_gen as wg
+    from .operators.decode import CONTROL_TAGS, build_context, decode_frames_df
+
+    _, b = wg.gen_mixed_dml(n_base=120, n_txns=12, ops_per_txn=8, seed=7)
+    frames_pd = b.to_table().to_pandas()
+    frames = spark.createDataFrame(frames_pd)
+    control = [
+        r.asDict()
+        for r in frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
+        .select("seq", "wal_start", "data").sort("seq").collect()
+    ]
+    ctx = build_context(control)
+    ev = decode_frames_df(frames, ctx)
+    return ev.groupBy("event_type", "txn_status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def wal_replay_final_state(spark, sf_dir):
+    """Full engine replay of a deterministic fixture into a temp lake →
+    final table with the sha256 invariant column."""
+    from .engine import ReplayEngine
+    from .fixtures import wal_gen as wg
+
+    base, b = wg.gen_basic(n_base=100, n_txns=10, ops_per_txn=6, seed=11)
+    wd = tempfile.mkdtemp(prefix="walstream_entry_")
+    wg.write_frames(b.to_table(), f"{wd}/frames")
+    wg.write_base(base, f"{wd}/base.parquet")
+    eng = ReplayEngine(spark, f"{wd}/wh")
+    eng.bootstrap_table("repos", spark.read.parquet(f"{wd}/base.parquet"),
+                        ["repo", "path"], n_buckets=8)
+    eng.replay_frames(f"{wd}/frames")
+    return eng.table("repos").read(spark).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_last_image": (cdc_last_image, CDC_LAST_IMAGE_SQL),
+    "cdc_event_counts": (cdc_event_counts, CDC_EVENT_COUNTS_SQL),
+    "cdc_commit_gate": (cdc_commit_gate, CDC_COMMIT_GATE_SQL),
+    "cdc_fence_dedup": (cdc_fence_dedup, CDC_FENCE_DEDUP_SQL),
+    "cdc_pg_epoch_ts": (cdc_pg_epoch_ts, CDC_PG_EPOCH_TS_SQL),
+    "cdc_lsn_format": (cdc_lsn_format, CDC_LSN_FORMAT_SQL),
+    "pg_bool_coercion": (pg_bool_coercion, PG_BOOL_COERCION_SQL),
+    "cdc_typed_props": (cdc_typed_props, CDC_TYPED_PROPS_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
+    "simhash_signatures": (simhash_signatures, SIMHASH_SIG_SQL),
+    "dedup_simhash_groups": (dedup_simhash_groups, SIMHASH_GROUPS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMBED_COSINE_SQL),
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "multimodal_byte_features": (multimodal_byte_features, None),
+    "multimodal_frame_sample": (multimodal_frame_sample, None),
+    "wal_decode_counts": (wal_decode_counts, None),
+    "wal_replay_final_state": (wal_replay_final_state, None),
+}

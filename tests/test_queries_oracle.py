@@ -1,0 +1,88 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle_sql() runs on Spark AND DuckDB at sf0.001/sf0.01 and must
+match on row count, column set, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+import os
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if isinstance(r, dict) else r[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            elif hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+                v = round(float(v), 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    con = duck_con()
+    res = con.execute(sql)
+    duck_cols = sorted(d[0] for d in res.description)
+    duck_rows = [dict(zip([d[0] for d in res.description], row))
+                 for row in res.fetchall()]
+
+    assert spark_cols == duck_cols, f"{name}: columns {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} spark vs {len(duck_rows)} duckdb rows"
+    )
+    ns = normalize(spark_rows, spark_cols)
+    nd = normalize(duck_rows, spark_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 3
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.schema is not None

@@ -59,6 +59,11 @@ class ReplayEngine:
         self.spark = spark
         self.warehouse = warehouse
         self.protocol_version = protocol_version
+        # bigger Arrow batches amortize python-worker IPC in the decode kernel
+        if spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                          None) in (None, "10000"):
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           "20000")
         self.tables_dir = os.path.join(warehouse, "tables")
         self.state_path = os.path.join(warehouse, "engine_state.json")
         self.pending_dir = os.path.join(warehouse, "pending")
@@ -151,6 +156,17 @@ class ReplayEngine:
 
     def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
                       stop_at_lsn: int | None = None) -> dict:
+        import time as _time
+
+        phase_t = {}
+        _t0 = _time.monotonic()
+
+        def _mark(name):
+            nonlocal _t0
+            now = _time.monotonic()
+            phase_t[name] = round((now - _t0) * 1000)
+            _t0 = now
+
         # 1. control scan (tag pushdown) — driver-side sequential replay
         control = (
             frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
@@ -170,7 +186,11 @@ class ReplayEngine:
             carry_open_stream_xid=st.get("open_stream_xid"),
         )
 
-        # 2. vectorized decode (narrow)
+        _mark("control_scan")
+
+        # 2. vectorized decode (narrow); materialized ONCE — every downstream
+        # consumer (committed set, pending spill, quarantine count, truncate
+        # scan) reads the checkpointed result instead of re-running the kernel
         events = decode_frames_df(frames, ctx)
 
         # 3. pending resolution: re-stamp prior open/prepared events with this
@@ -186,6 +206,8 @@ class ReplayEngine:
             )
             events = events.unionByName(pending)
 
+        events = events.localCheckpoint()
+        _mark("decode_ckpt")
         dml = events.filter(
             F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
         )
@@ -208,14 +230,53 @@ class ReplayEngine:
                 effective_stop = int(crossing)
                 committed = committed.filter(F.col("end_lsn") <= effective_stop)
 
-        committed = committed.localCheckpoint()
-        quarantined = events.filter(F.col("error").isNotNull()).count()
-        # next-batch pending must be materialized BEFORE the pending dir is
-        # replaced (the lazy plan still reads the old files)
-        nxt = dml.filter(
-            F.col("txn_status").isin(["open", "prepared"])
-        ).localCheckpoint()
-        n_pending = nxt.count()
+        # ONE pass over the checkpointed events computes every batch-level
+        # statistic and the per-table merge plan — fewer driver round-trips
+        # per micro-batch is the main Amdahl lever at scale
+        is_dml = (
+            F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
+        )
+        is_committed_dml = is_dml & (F.col("txn_status") == "committed")
+        if effective_stop is not None:
+            is_committed_dml = is_committed_dml & (
+                F.col("end_lsn") <= effective_stop
+            )
+        per_table = (
+            events.groupBy(
+                F.when(is_committed_dml, F.col("table_name")).alias("_tbl")
+            )
+            .agg(
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
+                F.count(
+                    F.when(
+                        is_dml & F.col("txn_status").isin(["open", "prepared"]),
+                        1,
+                    )
+                ).alias("pend"),
+                F.max(
+                    F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
+                ).alias("hi"),
+                F.count(
+                    F.when(
+                        (F.col("event_type") == "truncate")
+                        & (F.col("txn_status") == "committed"),
+                        1,
+                    )
+                ).alias("trunc"),
+            )
+            .collect()
+        )
+        _mark("batch_stats")
+        quarantined = sum(r["quar"] for r in per_table)
+        n_pending = sum(r["pend"] for r in per_table)
+        hi_all = [r["hi"] for r in per_table if r["hi"] is not None]
+        stats = {"hi_commit": max(hi_all) if hi_all else None}
+        table_hi = {
+            r["_tbl"]: r["hi"] for r in per_table if r["_tbl"] is not None
+        }
+        # next-batch pending reads the checkpointed events, safe to rewrite
+        # the pending dir afterwards
+        nxt = dml.filter(F.col("txn_status").isin(["open", "prepared"]))
 
         # 4. schema evolution before merge
         for change in ctx.schema_changes:
@@ -224,15 +285,18 @@ class ReplayEngine:
         # 5+6. per-table compaction + fenced merge
         fence_floor = int(st.get("applied_lsn", 0))
         batch_applied = fence_floor
-        tables = [
-            r["table_name"]
-            for r in committed.select("table_name").distinct().collect()
-        ]
+        tables = list(table_hi)
         merged = []
-        truncates = self._committed_truncates(events, effective_stop, fence_floor)
+        truncates = (
+            self._committed_truncates(events, effective_stop, fence_floor)
+            if any(r["trunc"] for r in per_table)
+            else {}
+        )
+        _mark("plan_tables")
         for tname in sorted(set(tables) | set(truncates)):
             rec = self._merge_table(
-                tname, committed, truncates.get(tname), batch_idx, fence_floor
+                tname, committed, truncates.get(tname), batch_idx, fence_floor,
+                ctx, table_hi.get(tname),
             )
             if rec:
                 merged.append(rec)
@@ -240,13 +304,16 @@ class ReplayEngine:
 
         # max applied lsn this batch (even for tables with no DML)
         hi_commit = (
-            committed.agg(F.max("end_lsn")).collect()[0][0]
+            effective_stop if effective_stop is not None else stats["hi_commit"]
         )
         if hi_commit is not None:
             batch_applied = max(batch_applied, int(hi_commit))
 
+        _mark("merges")
+
         # 7. carry-over: open + prepared events spill to pending
         self._save_pending(nxt if n_pending else None)
+        _mark("pending_spill")
 
         # 8. persist engine state (atomic)
         st["batch_idx"] = batch_idx + 1
@@ -265,6 +332,7 @@ class ReplayEngine:
             "quarantined": quarantined,
             "schema_changes": len(ctx.schema_changes),
             "stopped": effective_stop is not None,
+            "phase_ms": phase_t,
         }
         st.setdefault("metrics", []).append(
             {k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
@@ -328,7 +396,8 @@ class ReplayEngine:
         return out
 
     def _merge_table(self, tname: str, committed: DataFrame,
-                     truncate_pos, batch_idx: int, fence_floor: int):
+                     truncate_pos, batch_idx: int, fence_floor: int, ctx,
+                     lsn_hi=None):
         t = self.table(tname)
         ev = committed.filter(
             (F.col("table_name") == tname) & (F.col("end_lsn") > fence_floor)
@@ -341,29 +410,28 @@ class ReplayEngine:
                 | ((F.col("commit_lsn") == tc) & (F.col("seq") > tseq))
             )
         if not t.exists:
-            # table appeared mid-stream: create empty from catalog schema
-            first = ev.select("key_columns").limit(1).collect()
-            schema_row = ev.limit(1).collect()
-            if not schema_row:
-                if truncate_pos is None:
-                    return None
-                key_cols = ["repo", "path"]
-                cols_ddl = "repo string, path string"
-                empty = self.spark.createDataFrame([], cols_ddl)
-                t = LakeTable.create(self.spark, os.path.join(self.tables_dir, tname),
-                                     empty, key_cols)
-            else:
-                keys = first[0]["key_columns"]
-                names = [k for k, _ in schema_row[0]["new_data"] or
-                         schema_row[0]["old_data"]]
-                ddl = ", ".join(f"`{n}` string" for n in names)
-                empty = self.spark.createDataFrame([], ddl)
-                t = LakeTable.create(self.spark, os.path.join(self.tables_dir, tname),
-                                     empty, list(keys))
+            # table appeared mid-stream: create empty from the relation
+            # catalog's announced schema (name + type oids + key flags)
+            rel = None
+            for versions in ctx.catalog.values():
+                for v in versions:
+                    if v.relname == tname:
+                        rel = v
+            if rel is None:
+                return None
+            ddl = ", ".join(
+                f"`{n}` {_PG_TYPE_TO_SPARK.get(toid, 'string')}"
+                for n, toid in zip(rel.names, rel.type_oids)
+            )
+            keys = [n for n, fl in zip(rel.names, rel.key_flags) if fl & 1] \
+                or list(rel.names)
+            t = LakeTable.create(
+                self.spark, os.path.join(self.tables_dir, tname),
+                self.spark.createDataFrame([], ddl), keys,
+            )
         snap = t.snapshot()
         key_cols = snap["key_columns"]
         data_cols = [(n, ty) for n, ty in snap["schema"] if n not in key_cols]
-        lsn_hi = ev.agg(F.max("end_lsn")).collect()[0][0]
         if truncate_pos is not None:
             lsn_hi = max(int(lsn_hi or 0), int(truncate_pos[2]))
         if lsn_hi is None:

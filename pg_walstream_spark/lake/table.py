@@ -209,65 +209,58 @@ class LakeTable:
 
         changes = changes.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
-        ).localCheckpoint()  # cut lineage: change set is reused in 3 joins
+        ).localCheckpoint()  # materialize once: bucket plan + join + counts
 
+        # one job: upsert/delete counts + affected-bucket set
+        cstats = changes.agg(
+            F.count(F.when(F.col("_op") == "upsert", 1)).alias("u"),
+            F.count(F.when(F.col("_op") == "delete", 1)).alias("d"),
+            F.collect_set("_bucket").alias("buckets"),
+        ).collect()[0]
         if truncate_first:
             affected = list(range(n_buckets))
         else:
-            affected = [
-                r["_bucket"] for r in changes.select("_bucket").distinct().collect()
-            ]
+            affected = sorted(cstats["buckets"])
 
         target = self.read(spark, buckets=affected).withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
         )
         if truncate_first:
-            survivors = target.limit(0)
-        else:
-            survivors = target.join(
-                changes.select(key_cols).distinct(), on=key_cols, how="left_anti"
-            )
+            target = target.limit(0)
 
-        upserts = changes.filter(F.col("_op") == "upsert")
-        plain = upserts.filter(F.size(F.coalesce(F.col("_toast"), F.array())) == 0)
-        toastful = upserts.filter(F.size(F.coalesce(F.col("_toast"), F.array())) > 0)
-
-        toast_parts = []
-        if not truncate_first:
-            tgt_renamed = target.select(
-                *key_cols,
-                *[F.col(cn).alias(f"_tgt_{cn}") for cn in data_cols
-                  if cn not in key_cols],
+        # Single full-outer join resolves everything in one shuffle each side
+        # (the pruned target is the only big input): untouched target rows
+        # pass through, deletes drop, upserts take new values except
+        # TOAST-marked columns which carry the target's value forward.
+        t = target.alias("t")
+        c = changes.alias("c")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+        j = t.join(c, cond, "full_outer")
+        untouched = F.col("c._op").isNull()
+        sel = [
+            F.coalesce(F.col(f"c.{k}"), F.col(f"t.{k}")).alias(k)
+            for k in key_cols
+        ]
+        for cn in data_cols:
+            if cn in key_cols:
+                continue
+            sel.append(
+                F.when(untouched, F.col(f"t.{cn}"))
+                .when(
+                    F.array_contains(
+                        F.coalesce(F.col("c._toast"), F.array()), cn
+                    ),
+                    F.col(f"t.{cn}"),
+                )
+                .otherwise(F.col(f"c.{cn}"))
+                .alias(cn)
             )
-            resolved = toastful.join(tgt_renamed, on=key_cols, how="inner").select(
-                *key_cols,
-                *[
-                    F.when(
-                        F.array_contains(F.coalesce(F.col("_toast"), F.array()), cn),
-                        F.col(f"_tgt_{cn}"),
-                    ).otherwise(F.col(cn)).alias(cn)
-                    for cn in data_cols if cn not in key_cols
-                ],
-                F.col("_bucket"),
-            )
-            matched = resolved.select(key_cols).distinct()
-            orphans = toastful.join(matched, on=key_cols, how="left_anti").select(
-                *key_cols,
-                *[cn for cn in data_cols if cn not in key_cols],
-                "_bucket",
-            )
-            toast_parts = [resolved, orphans]
-        else:
-            toast_parts = [
-                toastful.select(*key_cols,
-                                *[cn for cn in data_cols if cn not in key_cols],
-                                "_bucket")
-            ]
-
-        cols = [*data_cols, "_bucket"]
-        new_data = survivors.select(cols)
-        for p in [plain.select(cols), *toast_parts]:
-            new_data = new_data.unionByName(p.select(cols))
+        sel.append(
+            F.coalesce(F.col("c._bucket"), F.col("t._bucket")).alias("_bucket")
+        )
+        new_data = j.filter(
+            untouched | (F.col("c._op") == "upsert")
+        ).select(*sel)
 
         new_files = self._write_buckets(new_data, snap["version"] + 1)
 
@@ -277,8 +270,7 @@ class LakeTable:
         for b, fl in new_files.items():
             files[b] = fl
 
-        n_up = upserts.count()
-        n_del = changes.filter(F.col("_op") == "delete").count()
+        n_up, n_del = cstats["u"], cstats["d"]
         record = {
             "batch_id": batch_id,
             "applied_lsn": applied_lsn,

@@ -344,13 +344,17 @@ def _strings_from_slices(
 ) -> pa.Array:
     """Build a StringArray by gathering [start, start+len) slices; rows with
     valid=False become null. Fully vectorized (repeat + cumsum gather)."""
-    lens = np.where(valid, lens, 0).astype(np.int64)
+    lens = np.where(valid, lens, 0)
     total = int(lens.sum())
     out_offsets = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=out_offsets[1:])
     if total:
-        idx = np.repeat(starts, lens) + (
-            np.arange(total, dtype=np.int64) - np.repeat(out_offsets[:-1], lens)
+        # int32 gather indices: halves memory traffic vs int64 (Arrow batches
+        # are far below 2 GiB, so 32-bit offsets always fit)
+        l32 = lens.astype(np.int32)
+        idx = np.repeat(starts.astype(np.int32), l32) + (
+            np.arange(total, dtype=np.int32)
+            - np.repeat(out_offsets[:-1].astype(np.int32), l32)
         )
         data = buf[idx].tobytes()
     else:
@@ -424,6 +428,35 @@ def _walk_tuples(
 # group assembly helpers
 # ---------------------------------------------------------------------------
 
+def _tiled_keys(names: tuple, M: int) -> pa.Array:
+    """StringArray of ``names`` repeated M times, built directly from
+    buffers (no per-row Python objects — this is the map-key column for
+    every row of a relation group)."""
+    name_bytes = [n.encode("utf-8") for n in names]
+    pattern = b"".join(name_bytes)
+    lens = np.array([len(b) for b in name_bytes], np.int32)
+    one_offsets = np.zeros(len(names) + 1, np.int32)
+    np.cumsum(lens, out=one_offsets[1:])
+    pat_len = one_offsets[-1]
+    # offsets for M repetitions: tile the per-name offsets and add stride
+    reps = np.tile(one_offsets[1:], M) + np.repeat(
+        np.arange(M, dtype=np.int64) * int(pat_len), len(names)
+    )
+    offsets = np.empty(len(names) * M + 1, np.int64)
+    offsets[0] = 0
+    offsets[1:] = reps
+    data = pattern * M
+    if offsets[-1] <= np.iinfo(np.int32).max:
+        off_buf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(
+            pa.string(), len(names) * M, [None, off_buf, pa.py_buffer(data)]
+        )
+    off_buf = pa.py_buffer(offsets.tobytes())
+    return pa.Array.from_buffers(
+        pa.large_string(), len(names) * M, [None, off_buf, pa.py_buffer(data)]
+    )
+
+
 def _map_from_group(
     buf, names: tuple, kinds, starts, lens, row_valid: np.ndarray
 ) -> pa.Array:
@@ -443,7 +476,7 @@ def _map_from_group(
     )
     flat_valid = ((kk == c.COL_TEXT) | (kk == c.COL_BINARY)).ravel()
     items = _strings_from_slices(buf, ss.ravel(), ll.ravel(), flat_valid)
-    keys = pa.array(np.tile(np.array(names, object), M), pa.string())
+    keys = _tiled_keys(names, M)
     offsets = pa.array(np.arange(0, (M + 1) * C, C, dtype=np.int32))
     m = pa.MapArray.from_arrays(offsets, keys, items)
     if row_valid.all():
@@ -737,12 +770,12 @@ def _assemble_dml_subgroup(
         [
             pa.array(gseq[sel]), pa.array(glsn[sel]), pa.array(gwal_end[sel]),
             pa.array(gst[sel]),
-            pa.array([event_name] * M, pa.string()),
+            pa.repeat(event_name, M),
             pa.array(xs, mask=xs < 0),
-            pa.array([rel.namespace] * M, pa.string()),
-            pa.array([rel.relname] * M, pa.string()),
+            pa.repeat(rel.namespace, M),
+            pa.repeat(rel.relname, M),
             pa.array(np.full(M, oid, np.int64)),
-            pa.array([rel.replica_identity] * M, pa.string()),
+            pa.repeat(rel.replica_identity, M),
             key_cols, key_type, old_map, new_map, toast,
             pa.array(_STATUS_NAMES[stat], pa.string()),
             pa.array(cl[sel], mask=~committed),
@@ -819,6 +852,9 @@ def _decode_control_rows(
         elif et == "origin":
             r["final_lsn"] = m["origin_lsn"]
             r["table_name"] = m["name"]
+            # stamp the enclosing txn so origin filtering can poison its DML
+            ox = ctx.txn_of(np.array([seq[i]]))[0]
+            r["xid"] = int(ox) if ox >= 0 else None
         elif et == "message":
             r["final_lsn"] = m["message_lsn"]
             r["table_name"] = m["prefix"]

@@ -118,9 +118,7 @@ FROM events GROUP BY 1, 2, 3
 def cdc_pg_epoch_ts(spark, sf_dir):
     """PG-epoch µs → timestamp conversion (src/types.rs:126-139 analog)."""
     _utc(spark)
-    ev = _t(spark, sf_dir, "events").limit(0).unionByName(
-        _t(spark, sf_dir, "events")
-    )
+    ev = _t(spark, sf_dir, "events")
     us = (F.col("event_id") * 1_000_000 + 946_684_800_000_000)
     return ev.select(
         "event_id",

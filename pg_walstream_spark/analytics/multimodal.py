@@ -23,6 +23,7 @@ MEDIA_SCHEMA_DDL = (
 )
 
 FEATURES_DDL = "media_id long, n_bytes long, features array<double>"
+COUNTS_DDL = "media_id long, n_bytes long, counts array<long>"
 
 _HAVE_PIL = False
 try:  # pragma: no cover - not present in this container
@@ -96,6 +97,33 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(fn, FEATURES_DDL)
+
+
+def byte_histogram_counts(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Integer bin counts variant (exact — used for oracle comparison)."""
+    from .. import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shift = 8 - (n_bins.bit_length() - 1)
+        for pdf in batches:
+            counts, sizes = [], []
+            for raw in pdf["payload"]:
+                arr = np.frombuffer(raw, np.uint8)
+                sizes.append(len(arr))
+                counts.append(
+                    np.bincount(arr >> shift, minlength=n_bins)[:n_bins].tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "counts": counts,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, COUNTS_DDL)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 256) -> DataFrame:

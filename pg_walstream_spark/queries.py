@@ -612,9 +612,79 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+ANN_IVF_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, emb AS cvec, nrm AS cnorm
+          FROM n ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cvec)
+                            / (v.nrm * c.cnorm), 9) DESC,
+                      c.centroid_id) rn
+    FROM n v, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell, qv, qn FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell, q.emb AS qv,
+           q.nrm AS qn,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.emb, c.cvec)
+                            / (q.nrm * c.cnorm), 9) DESC,
+                      c.centroid_id) rn
+    FROM n q, cents c WHERE q.vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, v.emb) / (p.qn * v.nrm), 6) AS cos
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN n v ON v.vec_id = a.vec_id
+  WHERE v.vec_id != p.query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def multimodal_byte_features(spark, sf_dir):
     media = mm.docs_as_media(_t(spark, sf_dir, "documents"))
     return mm.byte_histogram_features(media)
+
+
+def multimodal_byte_features_flat(spark, sf_dir):
+    """Oracle-checkable form of the Arrow-batched feature extractor:
+    integer byte-histogram bin counts as 16 typed columns (texts are ASCII,
+    so the SQL oracle reproduces the byte histogram from codepoints;
+    integer counts sidestep float rounding-mode differences)."""
+    media = mm.docs_as_media(_t(spark, sf_dir, "documents"))
+    feats = mm.byte_histogram_counts(media)
+    return feats.select(
+        "media_id", "n_bytes",
+        *[F.element_at("counts", i + 1).alias(f"f{i}") for i in range(16)],
+    )
+
+
+MULTIMODAL_FLAT_SQL = """
+WITH ch AS (
+  SELECT doc_id AS media_id, length(text) AS n_bytes,
+         unnest([ascii(substr(text, x, 1)) // 16
+                 for x in range(1, length(text) + 1)]) AS bin
+  FROM documents),
+hist AS (
+  SELECT media_id, n_bytes, bin, count(*) AS c
+  FROM ch GROUP BY 1, 2, 3)
+SELECT media_id, n_bytes,
+""" + ",\n".join(
+    f"       coalesce(CAST(max(CASE WHEN bin = {i} THEN c END) AS BIGINT), 0)"
+    f" AS f{i}" for i in range(16)
+) + """
+FROM hist GROUP BY media_id, n_bytes
+"""
 
 
 def multimodal_frame_sample(spark, sf_dir):
@@ -695,12 +765,15 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMBED_COSINE_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "multimodal_byte_features": (multimodal_byte_features, None),
+    "multimodal_byte_features_flat": (
+        multimodal_byte_features_flat, MULTIMODAL_FLAT_SQL,
+    ),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
     "wal_decode_counts": (wal_decode_counts, None),
     "wal_replay_final_state": (wal_replay_final_state, None),

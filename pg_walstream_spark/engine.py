@@ -84,6 +84,46 @@ class ReplayEngine:
     def table(self, name: str) -> LakeTable:
         return LakeTable(os.path.join(self.tables_dir, name))
 
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.tables_dir)
+            if os.path.isdir(os.path.join(self.tables_dir, d))
+        )
+
+    def metrics_df(self) -> "DataFrame":
+        """Per-partition lineage + throughput metrics as a DataFrame (the
+        reference's heartbeat/throughput reporting analog): one row per
+        (table, applied batch) from the lake snapshots' lineage log, plus
+        engine-level batch rows (pending, quarantined)."""
+        rows = []
+        for t in self.tables():
+            for rec in LakeTable(
+                os.path.join(self.tables_dir, t)
+            ).snapshot()["lineage"]:
+                if rec.get("event") == "add_columns":
+                    rows.append((t, None, None, None, None, None, None, None,
+                                 "schema_evolution"))
+                    continue
+                rows.append((
+                    t, str(rec.get("batch_id")), rec.get("applied_lsn"),
+                    rec.get("upserts"), rec.get("deletes"),
+                    len(rec.get("buckets_rewritten", []) or []),
+                    rec.get("wall_ms"), bool(rec.get("skipped")), "merge",
+                ))
+        st = self._load_state()
+        for m in st.get("metrics", []):
+            rows.append((
+                None, f"b{m['batch_idx']}", m.get("applied_lsn"),
+                None, None, None, None, None,
+                f"batch pending={m.get('pending')} quarantined={m.get('quarantined')}",
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "table string, batch_id string, applied_lsn long, upserts long, "
+            "deletes long, buckets_rewritten int, wall_ms long, "
+            "skipped boolean, kind string",
+        )
+
     def bootstrap_table(self, name: str, base_df: DataFrame,
                         key_columns: list[str], n_buckets: int = 16) -> LakeTable:
         return LakeTable.create(

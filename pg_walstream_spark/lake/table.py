@@ -207,11 +207,15 @@ class LakeTable:
         n_buckets = snap["n_buckets"]
         data_cols = [n for n, _ in snap["schema"]]
 
+        # persist (not localCheckpoint): keeps the compaction aggregate's
+        # hash partitioning on the key visible to Catalyst, so the merge join
+        # below reuses it instead of re-shuffling the change set
         changes = changes.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
-        ).localCheckpoint()  # materialize once: bucket plan + join + counts
+        ).persist()
 
-        # one job: upsert/delete counts + affected-bucket set
+        # one job: upsert/delete counts + affected-bucket set (also
+        # materializes the persisted change set)
         cstats = changes.agg(
             F.count(F.when(F.col("_op") == "upsert", 1)).alias("u"),
             F.count(F.when(F.col("_op") == "delete", 1)).alias("d"),
@@ -295,4 +299,5 @@ class LakeTable:
             "lineage": snap["lineage"] + [record],
         }
         self._commit(snap2)
+        changes.unpersist()
         return record

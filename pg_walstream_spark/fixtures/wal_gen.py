@@ -367,6 +367,31 @@ def gen_two_phase(n_base: int = 80, seed: int = 42):
     return base, b
 
 
+def gen_binary_mode(n_base: int = 40, n_txns: int = 5, seed: int = 42):
+    """binary=on stream: tuple values sent in binary format ('b' kind),
+    including invalid-UTF8 payloads — the sink must preserve them losslessly
+    as bytea hex text (parity:
+    /root/reference/integration-tests/binary_columns.rs)."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    rng = np.random.default_rng(seed ^ 0xB1)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    for t in range(n_txns):
+        b.begin()
+        for j in range(5):
+            blob = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+            tup = [
+                ("t", f"orgB/bin{t}"),
+                ("t", f"blob_{t}_{j}.bin"),
+                ("b", bytes(rng.integers(0, 256, 20, dtype=np.uint8))),
+                ("t", "binary"),
+                ("b", blob),
+            ]
+            b.emit(e.encode_insert(REPOS_OID, tup))
+        b.commit()
+    return base, b
+
+
 def gen_malformed(seed: int = 42):
     """Well-formed stream with interleaved garbage frames — exercises the
     quarantine path (error rows, not crashes; alloc-cap guards)."""

@@ -55,6 +55,9 @@ class GoldenApplier:
                 toast.add(name)
             elif kind == "n":
                 row[name] = None
+            elif kind == "b":
+                # binary-format value → PostgreSQL bytea hex text (lossless)
+                row[name] = "\\x" + val.hex()
             else:
                 row[name] = val.decode("utf-8") if isinstance(val, bytes) else val
         return row, toast

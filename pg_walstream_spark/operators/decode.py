@@ -378,6 +378,66 @@ def _strings_from_slices(
     )
 
 
+_HEX = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def _hex_strings_from_slices(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, valid: np.ndarray
+) -> pa.Array:
+    """Binary-format column values → PostgreSQL bytea text form
+    (``\\x<hex>``), fully vectorized (losslessness parity with
+    /root/reference/integration-tests/binary_columns.rs)."""
+    lens = np.where(valid, lens, 0).astype(np.int64)
+    out_lens = np.where(lens > 0, 2 * lens + 2, np.where(valid, 2, 0))
+    out_offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    if total:
+        data = np.empty(total, np.uint8)
+        heads = out_offsets[:-1][valid]
+        data[heads] = ord("\\")
+        data[heads + 1] = ord("x")
+        raw = _gather_slices(buf, starts, lens)
+        if len(raw):
+            hx = np.empty(2 * len(raw), np.uint8)
+            hx[0::2] = _HEX[raw >> 4]
+            hx[1::2] = _HEX[raw & 15]
+            mask = np.ones(total, bool)
+            mask[heads] = False
+            mask[heads + 1] = False
+            data[mask] = hx
+        payload = data.tobytes()
+    else:
+        payload = b""
+    offs = pa.array(out_offsets.astype(np.int32)).buffers()[1]
+    validity = pa.array(valid.astype(bool)).buffers()[1]
+    return pa.Array.from_buffers(
+        pa.string(), len(lens), [validity, offs, pa.py_buffer(payload)],
+        null_count=int((~valid).sum()),
+    )
+
+
+def _gather_slices(buf: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+len) slices into one uint8 array
+    (scatter+cumsum index trick, shared by text and hex paths)."""
+    total = int(lens.sum())
+    if not total:
+        return np.empty(0, np.uint8)
+    nz = lens > 0
+    s32 = starts[nz].astype(np.int32)
+    l32 = lens[nz].astype(np.int32)
+    out_off = np.zeros(int(nz.sum()), np.int64)
+    np.cumsum(l32[:-1], out=out_off[1:]) if len(l32) > 1 else None
+    delta = np.ones(total, np.int32)
+    delta[0] = s32[0]
+    if len(s32) > 1:
+        pos = out_off[1:].astype(np.int32)
+        delta[pos] = s32[1:] - s32[:-1] - l32[:-1] + 1
+    idx = np.cumsum(delta, dtype=np.int32)
+    return buf[idx]
+
+
 def _walk_tuples(
     buf: np.ndarray, cur: np.ndarray, ends: np.ndarray, max_cols: int = 1600
 ):
@@ -480,8 +540,16 @@ def _map_from_group(
     ll = lens[:, :C] if lens.shape[1] >= C else np.pad(
         lens, ((0, 0), (0, C - lens.shape[1]))
     )
-    flat_valid = ((kk == c.COL_TEXT) | (kk == c.COL_BINARY)).ravel()
-    items = _strings_from_slices(buf, ss.ravel(), ll.ravel(), flat_valid)
+    flat_t = (kk == c.COL_TEXT).ravel()
+    flat_b = (kk == c.COL_BINARY).ravel()
+    items = _strings_from_slices(buf, ss.ravel(), ll.ravel(), flat_t | flat_b)
+    if flat_b.any():
+        # binary-format values → bytea hex text (lossless); zero cost on the
+        # default text-mode path
+        import pyarrow.compute as pc
+
+        hex_items = _hex_strings_from_slices(buf, ss.ravel(), ll.ravel(), flat_b)
+        items = pc.if_else(pa.array(flat_b), hex_items, items)
     keys = _tiled_keys(names, M)
     offsets = pa.array(np.arange(0, (M + 1) * C, C, dtype=np.int32))
     m = pa.MapArray.from_arrays(offsets, keys, items)

@@ -112,6 +112,8 @@ def naive_decode(frames: pa.Table, proto: int = 2) -> list[dict]:
                         toast.append(name)
                     elif kind == "n":
                         dd[name] = None
+                    elif kind == "b":
+                        dd[name] = "\\x" + val.hex()
                     else:
                         dd[name] = val.decode()
                 return dd, toast
@@ -182,6 +184,7 @@ VARIANTS = {
     "streaming": lambda: wg.gen_streaming(n_base=25),
     "two_phase": lambda: wg.gen_two_phase(n_base=20),
     "malformed": lambda: wg.gen_malformed(),
+    "binary_mode": lambda: wg.gen_binary_mode(),
     "bench_small": lambda: wg.gen_bench(n_base=300, n_txns=15, ops_per_txn=20),
 }
 

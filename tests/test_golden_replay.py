@@ -124,6 +124,19 @@ def test_e2e_two_phase(spark, tmp_path):
     assert_matches_golden(spark, eng, {"repos": base}, frames)
 
 
+def test_e2e_binary_mode_lossless(spark, tmp_path):
+    """binary=on values survive decode→merge as bytea hex, byte-lossless."""
+    base, b = wg.gen_binary_mode(n_base=30, n_txns=4)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    got = [r for r in eng.table("repos").read(spark).collect()
+           if r["repo"].startswith("orgB/")]
+    assert len(got) == 20
+    assert all(r["content"].startswith("\\x") and len(r["content"]) == 130
+               for r in got)
+
+
 def test_e2e_malformed_quarantine(spark, tmp_path):
     base, b = wg.gen_malformed()
     frames = b.to_table()

@@ -1,0 +1,120 @@
+"""spark-submit entry point.
+
+Cluster usage (the north-star launch contract):
+
+    zip -r pg_walstream_spark.zip pg_walstream_spark
+    spark-submit --py-files pg_walstream_spark.zip \\
+        -m pg_walstream_spark.cli bootstrap --warehouse s3://wh \\
+        --table repos --base s3://base.parquet --keys repo,path --buckets 4096
+    spark-submit --py-files pg_walstream_spark.zip \\
+        -m pg_walstream_spark.cli replay --warehouse s3://wh \\
+        --frames s3://wal/frames [--batch-frames 5000000] [--stop-at-lsn L]
+    ... cli stream  — live tail via Structured Streaming
+    ... cli metrics — lineage/throughput report
+
+In local mode the same commands run as ``python -m pg_walstream_spark.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str, master: str | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pg-walstream-spark")
+    ap.add_argument("--master", default=None,
+                    help="Spark master (omit under spark-submit)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("bootstrap", help="create a lake table from a base snapshot")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--base", required=True, help="parquet path of the snapshot")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--buckets", type=int, default=64)
+
+    p = sub.add_parser("replay", help="bounded replay of a WAL frame directory")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--frames", required=True)
+    p.add_argument("--batch-frames", type=int, default=1_000_000)
+    p.add_argument("--stop-at-lsn", type=int, default=None)
+    p.add_argument("--protocol-version", type=int, default=2)
+
+    p = sub.add_parser("stream", help="live tail via Structured Streaming")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--frames", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain what exists, then stop")
+
+    p = sub.add_parser("metrics", help="print lineage/throughput metrics")
+    p.add_argument("--warehouse", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bootstrap":
+        spark = _session("walstream-bootstrap", args.master)
+        from .engine import ReplayEngine
+
+        eng = ReplayEngine(spark, args.warehouse)
+        t = eng.bootstrap_table(
+            args.table, spark.read.parquet(args.base),
+            args.keys.split(","), n_buckets=args.buckets,
+        )
+        print(json.dumps({"table": args.table,
+                          "version": t.snapshot()["version"],
+                          "buckets": args.buckets}))
+        return 0
+
+    if args.cmd == "replay":
+        spark = _session("walstream-replay", args.master)
+        from .engine import ReplayEngine
+
+        eng = ReplayEngine(spark, args.warehouse,
+                           protocol_version=args.protocol_version)
+        out = eng.replay_frames(args.frames, batch_frames=args.batch_frames,
+                                stop_at_lsn=args.stop_at_lsn)
+        print(json.dumps({"batches": out["batches"],
+                          "applied_lsn": out["applied_lsn"]}))
+        return 0
+
+    if args.cmd == "stream":
+        spark = _session("walstream-stream", args.master)
+        from .streaming import start_stream
+
+        q = start_stream(
+            spark, args.frames, args.warehouse, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        return 0
+
+    if args.cmd == "metrics":
+        spark = _session("walstream-metrics", args.master)
+        from .engine import ReplayEngine
+
+        eng = ReplayEngine(spark, args.warehouse)
+        for r in eng.metrics_df().collect():
+            print(json.dumps(r.asDict()))
+        return 0
+
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

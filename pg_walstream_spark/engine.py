@@ -355,8 +355,11 @@ class ReplayEngine:
         self._save_pending(nxt if n_pending else None)
         _mark("pending_spill")
 
-        # 8. persist engine state (atomic)
-        st["batch_idx"] = batch_idx + 1
+        # 8. persist engine state (atomic). A bounded-replay stop leaves the
+        # batch NOT fully applied — keep the cursor on it so a later resume
+        # reprocesses it (the LSN fence makes that idempotent), exactly the
+        # reference's restart-from-confirmed-LSN contract.
+        st["batch_idx"] = batch_idx + (0 if effective_stop is not None else 1)
         st["catalog"] = {
             str(oid): [list(v) for v in versions]
             for oid, versions in ctx.catalog.items()

@@ -156,6 +156,21 @@ def test_e2e_bounded_replay(spark, tmp_path):
                           stop_at_lsn=stop)
 
 
+def test_e2e_bounded_then_resume(spark, tmp_path):
+    """stop_at_lsn, then a plain resume replay continues to the end —
+    restart-from-confirmed-LSN (found via CLI drive; the stopped batch must
+    not advance the checkpoint cursor)."""
+    base, b = wg.gen_basic(n_base=40, n_txns=6, ops_per_txn=5)
+    frames = b.to_table()
+    stop = b.commit_lsns[2] + 1
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     stop_at_lsn=stop)
+    assert eng.table("repos").applied_lsn() == b.commit_lsns[3]
+    eng2 = ReplayEngine(spark, eng.warehouse)
+    eng2.replay_frames(os.path.join(str(tmp_path), "frames"))
+    assert_matches_golden(spark, eng2, {"repos": base}, frames)
+
+
 def test_e2e_duplicate_batch_fenced(spark, tmp_path):
     """At-least-once delivery: replaying the whole stream again must be a
     no-op thanks to the LSN fence."""

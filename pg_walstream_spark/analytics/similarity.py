@@ -95,6 +95,57 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
     )
 
 
+def lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane set: component (i, j) derives from
+    md5(f"{i}:{j}") mapped to [-1, 1] — no RNG state, reproducible by the
+    SQL oracle from the same literals."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            row.append(round((int(h[:8], 16) / 2**32) * 2 - 1, 9))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit i = (v · plane_i) > 0."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    plane) > 0).cast("int")
+        bucket = bucket + (bit * (1 << i))
+    return bucket.cast("int")
+
+
+def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
+                  n_planes: int = 8, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed near-dup candidates: only pairs sharing a sign-LSH
+    bucket are scored — the all-pairs O(n²) collapses to per-bucket joins,
+    the scale path for embedding dedup at corpus size."""
+    planes = lsh_planes(n_planes, 64)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_n"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.col("_n").alias("na"), "bucket")
+    bb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("_n").alias("nb"), "bucket")
+    return (
+        a.join(bb, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("bucket", "id_a", "id_b", "cos")
+    )
+
+
 def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
             n_centroids: int = 8, n_probe: int = 2,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -112,9 +112,65 @@ def compact_last_image(images: DataFrame, key_columns: list[str],
     return out.select(*sel, toast)
 
 
-def compact_changes(events: DataFrame, key_columns: list[str],
-                    data_columns: list[tuple[str, str]]) -> DataFrame:
-    """events (one table, committed DML only) → MERGE-ready change set."""
-    return compact_last_image(
-        dml_images(events, key_columns, data_columns), key_columns, data_columns
+def compact_salted(images: DataFrame, key_columns: list[str],
+                   data_columns: list[tuple[str, str]],
+                   n_salt: int = 16) -> DataFrame:
+    """Explicit two-level salted compaction for pathologically hot keys.
+
+    Level 1 groups by (key, salt) where salt = hash(seq) % n_salt, so a key
+    with millions of in-batch updates fans out over n_salt reducers; level 2
+    combines the n_salt partial winners. All aggregates here are algebraic
+    (max / max_by), so the two-level split is exact.
+
+    Note: Spark's map-side partial aggregation already gives hot keys this
+    treatment implicitly (see compact_last_image), so the salted path is
+    only worth its extra shuffle when single keys overflow executor memory
+    during the final merge — wire it in via ``compact_changes(n_salt=...)``
+    at that scale."""
+    salted = images.withColumn(
+        "_salt", F.pmod(F.xxhash64("seq"), F.lit(n_salt)).cast("int")
     )
+    ord_struct = F.struct(*[F.col(c) for c in ORD])
+    aggs = [
+        F.max_by("_op", ord_struct).alias("_op"),
+        F.max(ord_struct).alias("_ord"),
+    ]
+    for c, _ in data_columns:
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("_op") == "upsert") & ~F.col(f"_t_{c}"),
+                    F.struct(*[F.col(o) for o in ORD], F.col(c).alias("v")),
+                )
+            ).alias(f"_last_{c}")
+        )
+    lvl1 = salted.groupBy(*key_columns, "_salt").agg(*aggs)
+    # level 2: combine partial winners (same max semantics over structs)
+    aggs2 = [F.max_by("_op", F.col("_ord")).alias("_op")]
+    for c, _ in data_columns:
+        aggs2.append(F.max(f"_last_{c}").alias(f"_last_{c}"))
+    out = lvl1.groupBy(*key_columns).agg(*aggs2)
+    sel = [*key_columns, "_op"]
+    for c, _ in data_columns:
+        sel.append(F.col(f"_last_{c}.v").alias(c))
+    toast = F.array_compact(
+        F.array(*[
+            F.when(
+                (F.col("_op") == "upsert") & F.col(f"_last_{c}").isNull(),
+                F.lit(c),
+            )
+            for c, _ in data_columns
+        ])
+    ).alias("_toast")
+    return out.select(*sel, toast)
+
+
+def compact_changes(events: DataFrame, key_columns: list[str],
+                    data_columns: list[tuple[str, str]],
+                    n_salt: int = 0) -> DataFrame:
+    """events (one table, committed DML only) → MERGE-ready change set.
+    ``n_salt > 0`` selects the explicit two-level salted reduce."""
+    images = dml_images(events, key_columns, data_columns)
+    if n_salt > 0:
+        return compact_salted(images, key_columns, data_columns, n_salt)
+    return compact_last_image(images, key_columns, data_columns)

@@ -515,6 +515,36 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def ann_lsh_pairs(spark, sf_dir):
+    return sim.ann_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _ann_lsh_sql() -> str:
+    planes = sim.lsh_planes(8, 64)
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {pl}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits)
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+bkt AS (SELECT vec_id, emb, nrm, CAST({bucket} AS INT) AS bucket FROM n)
+SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -766,6 +796,7 @@ QUERIES = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMBED_COSINE_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_lsh_pairs": (ann_lsh_pairs, ANN_LSH_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),

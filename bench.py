@@ -38,7 +38,7 @@ N_BIG = N_SMALL * 4
 
 # CDC fixture sizing (cached in /tmp across runs)
 BENCH_BASE = int(os.environ.get("BENCH_BASE_ROWS", "150000"))
-BENCH_TXNS = int(os.environ.get("BENCH_TXNS", "20000"))
+BENCH_TXNS = int(os.environ.get("BENCH_TXNS", "12000"))
 BENCH_OPS = int(os.environ.get("BENCH_OPS_PER_TXN", "100"))
 
 QUERY_NAMES = [

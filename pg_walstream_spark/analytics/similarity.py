@@ -123,26 +123,47 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
 
 
 def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
-                  n_planes: int = 8, vec_col: str = "embedding",
+                  n_planes: int = 4, bands: int = 8,
+                  vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
-    """LSH-bucketed near-dup candidates: only pairs sharing a sign-LSH
-    bucket are scored — the all-pairs O(n²) collapses to per-bucket joins,
-    the scale path for embedding dedup at corpus size."""
-    planes = lsh_planes(n_planes, 64)
+    """Multi-band sign-LSH near-dup candidates: ``bands`` independent plane
+    sets; a pair is a candidate if it shares a bucket in ANY band (the
+    classic OR-construction — each extra band multiplies recall at the cost
+    of one more per-bucket join). Only candidates are cosine-scored, so the
+    all-pairs O(n²) collapses to per-bucket joins — the scale path for
+    embedding dedup at corpus size."""
+    all_planes = lsh_planes(n_planes * bands, 64)
     base = emb.select(
         F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_n"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        *[
+            lsh_bucket_expr(
+                vec_col, all_planes[b * n_planes : (b + 1) * n_planes]
+            ).alias(f"bucket{b}")
+            for b in range(bands)
+        ],
     )
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                    F.col("_n").alias("na"), "bucket")
-    bb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                     F.col("_n").alias("nb"), "bucket")
+    cand = None
+    for b in range(bands):
+        a = base.select(F.col(id_col).alias("id_a"),
+                        F.col(f"bucket{b}").alias("bk"))
+        bb = base.select(F.col(id_col).alias("id_b"),
+                         F.col(f"bucket{b}").alias("bk"))
+        pairs = (
+            a.join(bb, on="bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     F.col("_n").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("_n").alias("nb"))
     return (
-        a.join(bb, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
-        .select("bucket", "id_a", "id_b", "cos")
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -519,14 +519,26 @@ def ann_lsh_pairs(spark, sf_dir):
     return sim.ann_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
-def _ann_lsh_sql() -> str:
-    planes = sim.lsh_planes(8, 64)
-    plane_lits = [
-        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
-    ]
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(emb, {pl}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, pl in enumerate(plane_lits)
+def _ann_lsh_sql(n_planes: int = 4, bands: int = 8) -> str:
+    all_planes = sim.lsh_planes(n_planes * bands, 64)
+
+    def bucket_expr(planes):
+        lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {pl}) > 0 THEN {1 << i}"
+            f" ELSE 0 END)"
+            for i, pl in enumerate(lits)
+        )
+
+    band_sel = ",\n         ".join(
+        f"CAST({bucket_expr(all_planes[b * n_planes:(b + 1) * n_planes])}"
+        f" AS INT) AS bucket{b}"
+        for b in range(bands)
+    )
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b"
+        f" ON a.bucket{b} = b.bucket{b} AND a.vec_id < b.vec_id"
+        for b in range(bands)
     )
     return f"""
 WITH n AS (
@@ -534,10 +546,15 @@ WITH n AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings),
-bkt AS (SELECT vec_id, emb, nrm, CAST({bucket} AS INT) AS bucket FROM n)
-SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+bkt AS (SELECT vec_id, emb, nrm,
+         {band_sel}
+        FROM n),
+cand AS (
+{unions}
+)
+SELECT c.id_a, c.id_b,
        round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
-FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.45
 """
 

@@ -65,6 +65,24 @@ def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
     return PIL.Image.open(io.BytesIO(payload))
 
 
+def _batch_histograms(payloads, n_bins: int):
+    """Whole-batch byte histograms: ONE frombuffer over the concatenated
+    payloads + ONE bincount keyed by (row * n_bins + bin) — no per-row
+    Python loop in the hot path."""
+    shift = 8 - (n_bins.bit_length() - 1)
+    raws = [bytes(r) if r is not None else b"" for r in payloads]
+    n = len(raws)
+    lengths = np.fromiter((len(r) for r in raws), dtype=np.int64, count=n)
+    if n == 0 or int(lengths.sum()) == 0:
+        return lengths, np.zeros((n, n_bins), dtype=np.int64)
+    blob = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    hist = np.bincount(
+        row_ids * n_bins + (blob >> shift), minlength=n * n_bins
+    ).reshape(n, n_bins)
+    return lengths, hist
+
+
 def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     """Deterministic feature extraction over binary payloads via
     mapInPandas: per-row byte histogram (normalized), computed with numpy
@@ -76,23 +94,13 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats = []
-            sizes = []
-            for raw in payloads:
-                arr = np.frombuffer(raw, np.uint8)
-                sizes.append(len(arr))
-                if len(arr):
-                    hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1),
-                                       minlength=n_bins)[:n_bins]
-                    feats.append((hist / max(len(arr), 1)).round(6).tolist())
-                else:
-                    feats.append([0.0] * n_bins)
+            lengths, hist = _batch_histograms(pdf["payload"], n_bins)
+            feats = (hist / np.maximum(lengths, 1)[:, None]).round(6)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "features": feats,
+                    "n_bytes": pd.Series(lengths, dtype="int64"),
+                    "features": list(feats),
                 }
             )
 
@@ -106,20 +114,13 @@ def byte_histogram_counts(df: DataFrame, n_bins: int = 16) -> DataFrame:
     ensure_shipped(df.sparkSession)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shift = 8 - (n_bins.bit_length() - 1)
         for pdf in batches:
-            counts, sizes = [], []
-            for raw in pdf["payload"]:
-                arr = np.frombuffer(raw, np.uint8)
-                sizes.append(len(arr))
-                counts.append(
-                    np.bincount(arr >> shift, minlength=n_bins)[:n_bins].tolist()
-                )
+            lengths, hist = _batch_histograms(pdf["payload"], n_bins)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "counts": counts,
+                    "n_bytes": pd.Series(lengths, dtype="int64"),
+                    "counts": list(hist),
                 }
             )
 

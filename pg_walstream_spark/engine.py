@@ -51,6 +51,11 @@ _PG_TYPE_TO_SPARK = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
                      1114: "timestamp", 1184: "timestamp"}
 
 DML_TYPES = ("insert", "update", "delete")
+# everything the apply path consumes: DML plus truncate — truncates of a
+# still-open transaction must survive a micro-batch boundary in the pending
+# spill exactly like DML, or a batch split between TRUNCATE and its COMMIT
+# silently drops the truncate
+APPLY_TYPES = DML_TYPES + ("truncate",)
 
 
 class ReplayEngine:
@@ -163,8 +168,18 @@ class ReplayEngine:
     def replay_frames(self, frames_path: str, batch_frames: int = 500_000,
                       stop_at_lsn: int | None = None) -> dict:
         """Bounded replay of a frame directory in micro-batches of
-        ``batch_frames`` frames (seq order). Returns summary metrics."""
+        ``batch_frames`` frames (seq order). Returns summary metrics.
+
+        If the frame pump wrote a ``<frames>_control`` sidecar (see
+        fixtures/wal_gen.write_frames), the per-batch control scan reads it
+        instead of re-scanning the full WAL payload column — the control
+        channel is a few thousand tiny rows per million frames."""
         all_frames = self.spark.read.parquet(frames_path)
+        ctrl_path = frames_path.rstrip("/") + "_control"
+        control_frames = (
+            self.spark.read.parquet(ctrl_path)
+            if os.path.isdir(ctrl_path) else None
+        )
         bounds = all_frames.agg(
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
         ).collect()[0]
@@ -180,11 +195,15 @@ class ReplayEngine:
             if batch_idx < st["batch_idx"]:
                 batch_idx += 1
                 continue  # already applied (checkpoint resume)
-            batch = all_frames.filter(
-                (F.col("seq") >= start) & (F.col("seq") <= end)
+            in_range = (F.col("seq") >= start) & (F.col("seq") <= end)
+            batch = all_frames.filter(in_range)
+            rec = self.process_batch(
+                batch, batch_idx, st, stop_at_lsn=stop_at_lsn,
+                control_frames=(
+                    control_frames.filter(in_range)
+                    if control_frames is not None else None
+                ),
             )
-            rec = self.process_batch(batch, batch_idx, st,
-                                     stop_at_lsn=stop_at_lsn)
             summary.append(rec)
             batch_idx += 1
             if rec.get("stopped"):
@@ -195,7 +214,8 @@ class ReplayEngine:
     # ------------------------------------------------------------- one batch
 
     def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
-                      stop_at_lsn: int | None = None) -> dict:
+                      stop_at_lsn: int | None = None,
+                      control_frames: DataFrame | None = None) -> dict:
         import time as _time
 
         phase_t = {}
@@ -207,12 +227,14 @@ class ReplayEngine:
             phase_t[name] = round((now - _t0) * 1000)
             _t0 = now
 
-        # 1. control scan (tag pushdown) — driver-side sequential replay
+        # 1. control scan — sidecar control channel if the frame pump wrote
+        # one (tiny), else tag-pushdown filter on the batch frames
+        ctrl_src = (
+            control_frames if control_frames is not None
+            else frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
+        )
         control = (
-            frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
-            .select("seq", "wal_start", "data")
-            .sort("seq")
-            .collect()
+            ctrl_src.select("seq", "wal_start", "data").sort("seq").collect()
         )
         carry_catalog = {
             int(oid): [tuple(v) for v in versions]
@@ -246,11 +268,61 @@ class ReplayEngine:
             )
             events = events.unionByName(pending)
 
-        events = events.localCheckpoint()
-        _mark("decode_ckpt")
-        dml = events.filter(
+        # ONE job materializes the event cache AND every batch-level
+        # statistic via observed metrics (accumulator side-channel of the
+        # same pass) — no separate stats round-trip per micro-batch. Fewer
+        # driver jobs per batch is the main Amdahl lever at scale.
+        from pyspark.sql import Observation
+
+        is_dml = (
             F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
         )
+        is_apply = (
+            F.col("event_type").isin(list(APPLY_TYPES))
+            & F.col("error").isNull()
+        )
+        obs = Observation()
+        events = events.observe(
+            obs,
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
+            F.count(
+                F.when(
+                    is_apply & F.col("txn_status").isin(["open", "prepared"]),
+                    1,
+                )
+            ).alias("pend"),
+            F.max(
+                F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
+            ).alias("hi_commit"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "truncate")
+                    & (F.col("txn_status") == "committed"),
+                    1,
+                )
+            ).alias("trunc"),
+            F.collect_set(
+                F.when(
+                    is_dml & (F.col("txn_status") == "committed"),
+                    F.col("table_name"),
+                )
+            ).alias("tables"),
+        ).persist()
+        # persist (not localCheckpoint): the cache node sits ABOVE the
+        # observe node, so this one count() both fills the cache and fires
+        # the observed metrics; localCheckpoint would rewrite the plan to a
+        # LogicalRDD and silently drop CollectMetrics from the counting job
+        events.count()
+        m = obs.get
+        _mark("decode_ckpt")
+
+        quarantined = int(m["quar"])
+        n_pending = int(m["pend"])
+        hi_commit = m["hi_commit"]
+        has_trunc = int(m["trunc"]) > 0
+        tables = sorted(t for t in (m["tables"] or []) if t is not None)
+
+        dml = events.filter(is_dml)
         committed = dml.filter(F.col("txn_status") == "committed")
 
         # bounded replay: apply only transactions whose commit end_lsn is at
@@ -269,85 +341,53 @@ class ReplayEngine:
             if crossing is not None:
                 effective_stop = int(crossing)
                 committed = committed.filter(F.col("end_lsn") <= effective_stop)
-
-        # ONE pass over the checkpointed events computes every batch-level
-        # statistic and the per-table merge plan — fewer driver round-trips
-        # per micro-batch is the main Amdahl lever at scale
-        is_dml = (
-            F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
-        )
-        is_committed_dml = is_dml & (F.col("txn_status") == "committed")
-        if effective_stop is not None:
-            is_committed_dml = is_committed_dml & (
-                F.col("end_lsn") <= effective_stop
-            )
-        per_table = (
-            events.groupBy(
-                F.when(is_committed_dml, F.col("table_name")).alias("_tbl")
-            )
-            .agg(
-                F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
-                F.count(
-                    F.when(
-                        is_dml & F.col("txn_status").isin(["open", "prepared"]),
-                        1,
-                    )
-                ).alias("pend"),
-                F.max(
-                    F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
-                ).alias("hi"),
-                F.count(
-                    F.when(
-                        (F.col("event_type") == "truncate")
-                        & (F.col("txn_status") == "committed"),
-                        1,
-                    )
-                ).alias("trunc"),
-            )
-            .collect()
-        )
+                tables = sorted(
+                    r["table_name"]
+                    for r in committed.select("table_name").distinct().collect()
+                )
         _mark("batch_stats")
-        quarantined = sum(r["quar"] for r in per_table)
-        n_pending = sum(r["pend"] for r in per_table)
-        hi_all = [r["hi"] for r in per_table if r["hi"] is not None]
-        stats = {"hi_commit": max(hi_all) if hi_all else None}
-        table_hi = {
-            r["_tbl"]: r["hi"] for r in per_table if r["_tbl"] is not None
-        }
-        # next-batch pending reads the checkpointed events, safe to rewrite
-        # the pending dir afterwards
-        nxt = dml.filter(F.col("txn_status").isin(["open", "prepared"]))
+
+        # next-batch pending reads the cached events, safe to rewrite the
+        # pending dir afterwards; spills every apply-relevant type
+        # (DML + truncate) so open-txn truncates survive batch boundaries
+        nxt = events.filter(
+            is_apply & F.col("txn_status").isin(["open", "prepared"])
+        )
 
         # 4. schema evolution before merge
         for change in ctx.schema_changes:
             self._apply_schema_change(change)
 
-        # 5+6. per-table compaction + fenced merge
+        # 5+6. per-table compaction + fenced merge. Every table merged this
+        # batch is fenced at the batch's global committed high-water mark —
+        # the engine applies batches in sequence against one global fence
+        # floor, so per-table fences only need to be monotonic with it, and
+        # the global hi makes duplicate-batch skips exact for all tables.
         fence_floor = int(st.get("applied_lsn", 0))
         batch_applied = fence_floor
-        tables = list(table_hi)
         merged = []
         truncates = (
             self._committed_truncates(events, effective_stop, fence_floor)
-            if any(r["trunc"] for r in per_table)
+            if has_trunc
             else {}
+        )
+        batch_hi = (
+            effective_stop if effective_stop is not None
+            else (int(hi_commit) if hi_commit is not None else None)
         )
         _mark("plan_tables")
         for tname in sorted(set(tables) | set(truncates)):
             rec = self._merge_table(
                 tname, committed, truncates.get(tname), batch_idx, fence_floor,
-                ctx, table_hi.get(tname),
+                ctx, batch_hi,
             )
             if rec:
                 merged.append(rec)
                 batch_applied = max(batch_applied, rec["applied_lsn"])
 
         # max applied lsn this batch (even for tables with no DML)
-        hi_commit = (
-            effective_stop if effective_stop is not None else stats["hi_commit"]
-        )
-        if hi_commit is not None:
-            batch_applied = max(batch_applied, int(hi_commit))
+        if batch_hi is not None:
+            batch_applied = max(batch_applied, int(batch_hi))
 
         _mark("merges")
 
@@ -382,6 +422,7 @@ class ReplayEngine:
                                  "quarantined")}
         )
         self._save_state(st)
+        events.unpersist()
         return rec
 
     # ---------------------------------------------------------------- helpers

@@ -465,9 +465,19 @@ def gen_bench(n_base: int = 100_000, n_txns: int = 2_000,
 
 
 def write_frames(table: pa.Table, path: str, rows_per_file: int = 100_000):
-    """Write the frame table as a directory of parquet files in seq order."""
+    """Write the frame table as a directory of parquet files in seq order,
+    plus a ``<path>_control`` sidecar holding just the control-tag frames.
+
+    The sidecar is the frame pump's control channel: the pump already knows
+    each frame's tag byte at ingest (zero parse cost), so splitting control
+    frames out lets the engine's per-batch control scan read a few thousand
+    tiny rows instead of re-scanning the whole WAL's payload column. The
+    main directory still contains every frame (control included) — the
+    decode kernel consumes the full interleaved stream unchanged."""
     import os
     import shutil
+
+    from ..operators.decode import CONTROL_TAGS
 
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -480,6 +490,16 @@ def write_frames(table: pa.Table, path: str, rows_per_file: int = 100_000):
         pq.write_table(chunk, os.path.join(path, f"part-{file_i:05d}.parquet"))
         i += rows_per_file
         file_i += 1
+    ctrl_path = path.rstrip("/") + "_control"
+    if os.path.exists(ctrl_path):
+        shutil.rmtree(ctrl_path)
+    os.makedirs(ctrl_path)
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(table.column("tag"),
+                    value_set=pa.array(sorted(CONTROL_TAGS), type=pa.int32()))
+    ctrl = table.filter(mask)
+    pq.write_table(ctrl, os.path.join(ctrl_path, "part-00000.parquet"))
 
 
 def write_base(table: pa.Table, path: str):

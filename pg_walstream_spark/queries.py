@@ -699,8 +699,43 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 def multimodal_byte_features(spark, sf_dir):
+    """Arrow-batched byte-histogram features through the mapInPandas
+    plumbing, serialized to an exact integer-ppm CSV string: the driver's
+    pandas canonicalizer cannot hash array<double> columns
+    (CORRECTNESS_r01 `unhashable type: 'list'`), and integer ppm
+    (c * 1e6 div n_bytes) is bit-identical in Spark and DuckDB where float
+    rounding modes are not."""
     media = mm.docs_as_media(_t(spark, sf_dir, "documents"))
-    return mm.byte_histogram_features(media)
+    feats = mm.byte_histogram_counts(media)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.expr(
+            "concat_ws(',', transform(counts,"
+            " c -> cast((c * 1000000) div greatest(n_bytes, 1) as string)))"
+        ).alias("features_ppm"),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH ch AS (
+  SELECT doc_id AS media_id, length(text) AS n_bytes,
+         unnest([ascii(substr(text, x, 1)) // 16
+                 for x in range(1, length(text) + 1)]) AS bin
+  FROM documents),
+hist AS (
+  SELECT media_id, n_bytes, bin, count(*) AS c
+  FROM ch GROUP BY 1, 2, 3),
+bins AS (SELECT unnest(range(0, 16)) AS bin),
+filled AS (
+  SELECT m.media_id, m.n_bytes, b.bin, coalesce(h.c, 0) AS c
+  FROM (SELECT DISTINCT media_id, n_bytes FROM ch) m
+  CROSS JOIN bins b
+  LEFT JOIN hist h ON h.media_id = m.media_id AND h.bin = b.bin)
+SELECT media_id, n_bytes,
+       string_agg(CAST((c * 1000000) // greatest(n_bytes, 1) AS VARCHAR),
+                  ',' ORDER BY bin) AS features_ppm
+FROM filled GROUP BY media_id, n_bytes
+"""
 
 
 def multimodal_byte_features_flat(spark, sf_dir):
@@ -818,7 +853,9 @@ QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
-    "multimodal_byte_features": (multimodal_byte_features, None),
+    "multimodal_byte_features": (
+        multimodal_byte_features, MULTIMODAL_FEATURES_SQL,
+    ),
     "multimodal_byte_features_flat": (
         multimodal_byte_features_flat, MULTIMODAL_FLAT_SQL,
     ),

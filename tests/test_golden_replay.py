@@ -98,6 +98,19 @@ def test_e2e_truncate(spark, tmp_path):
     assert_matches_golden(spark, eng, {"repos": base}, frames)
 
 
+@pytest.mark.parametrize("batch_frames", [18, 19, 20, 21, 22])
+def test_e2e_truncate_split_across_batches(spark, tmp_path, batch_frames):
+    """A micro-batch boundary falling between TRUNCATE and its COMMIT must
+    not lose the truncate: open-txn truncates ride the pending spill like
+    DML (regression: pending spill used to keep DML only, silently dropping
+    a truncate whose commit arrived in a later batch)."""
+    base, b = wg.gen_truncate(n_base=40)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=batch_frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+
+
 def test_e2e_schema_evolution(spark, tmp_path):
     base, b = wg.gen_schema_evo(n_base=30)
     frames = b.to_table()

@@ -77,7 +77,7 @@ def ensure_fixture() -> tuple[str, str, int]:
     (frames_dir, base_parquet, n_events)."""
     from pg_walstream_spark.fixtures import wal_gen as wg
 
-    key = f"b{BENCH_BASE}_t{BENCH_TXNS}_o{BENCH_OPS}_v2"
+    key = f"b{BENCH_BASE}_t{BENCH_TXNS}_o{BENCH_OPS}_v3"  # v3: control sidecar
     root = os.path.join("/tmp", f"walstream_bench_{key}")
     frames = os.path.join(root, "frames")
     base_p = os.path.join(root, "base.parquet")

@@ -268,12 +268,12 @@ class ReplayEngine:
             )
             events = events.unionByName(pending)
 
-        # ONE job materializes the event cache AND every batch-level
-        # statistic via observed metrics (accumulator side-channel of the
-        # same pass) — no separate stats round-trip per micro-batch. Fewer
-        # driver jobs per batch is the main Amdahl lever at scale.
-        from pyspark.sql import Observation
-
+        # Materialize the decoded batch once (localCheckpoint: raw row
+        # blocks store and rescan ~2x cheaper than the columnar DF cache for
+        # these map-heavy rows), then ONE global aggregate computes every
+        # batch-level statistic the apply plan needs — two jobs total
+        # regardless of batch size. Fewer driver round-trips per micro-batch
+        # is the main Amdahl lever at scale.
         is_dml = (
             F.col("event_type").isin(list(DML_TYPES)) & F.col("error").isNull()
         )
@@ -281,9 +281,8 @@ class ReplayEngine:
             F.col("event_type").isin(list(APPLY_TYPES))
             & F.col("error").isNull()
         )
-        obs = Observation()
-        events = events.observe(
-            obs,
+        events = events.localCheckpoint()
+        m = events.agg(
             F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
             F.count(
                 F.when(
@@ -291,6 +290,11 @@ class ReplayEngine:
                     1,
                 )
             ).alias("pend"),
+            F.count(
+                F.when(
+                    is_dml & (F.col("txn_status") == "committed"), 1
+                )
+            ).alias("n_committed"),
             F.max(
                 F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
             ).alias("hi_commit"),
@@ -307,17 +311,12 @@ class ReplayEngine:
                     F.col("table_name"),
                 )
             ).alias("tables"),
-        ).persist()
-        # persist (not localCheckpoint): the cache node sits ABOVE the
-        # observe node, so this one count() both fills the cache and fires
-        # the observed metrics; localCheckpoint would rewrite the plan to a
-        # LogicalRDD and silently drop CollectMetrics from the counting job
-        events.count()
-        m = obs.get
+        ).collect()[0]
         _mark("decode_ckpt")
 
         quarantined = int(m["quar"])
         n_pending = int(m["pend"])
+        n_committed = int(m["n_committed"])
         hi_commit = m["hi_commit"]
         has_trunc = int(m["trunc"]) > 0
         tables = sorted(t for t in (m["tables"] or []) if t is not None)
@@ -379,7 +378,7 @@ class ReplayEngine:
         for tname in sorted(set(tables) | set(truncates)):
             rec = self._merge_table(
                 tname, committed, truncates.get(tname), batch_idx, fence_floor,
-                ctx, batch_hi,
+                ctx, batch_hi, n_committed=n_committed,
             )
             if rec:
                 merged.append(rec)
@@ -422,7 +421,6 @@ class ReplayEngine:
                                  "quarantined")}
         )
         self._save_state(st)
-        events.unpersist()
         return rec
 
     # ---------------------------------------------------------------- helpers
@@ -479,9 +477,15 @@ class ReplayEngine:
                     out[t] = pos
         return out
 
+    # below this many committed DML rows in the batch, spend one narrow job
+    # computing the touched-bucket set so the MERGE reads only affected
+    # target files; above it, a batch touches essentially every bucket and
+    # the planning job would cost more than the pruning saves
+    PRUNE_BUCKETS_BELOW = 50_000
+
     def _merge_table(self, tname: str, committed: DataFrame,
                      truncate_pos, batch_idx: int, fence_floor: int, ctx,
-                     lsn_hi=None):
+                     lsn_hi=None, n_committed: int | None = None):
         t = self.table(tname)
         ev = committed.filter(
             (F.col("table_name") == tname) & (F.col("end_lsn") > fence_floor)
@@ -520,11 +524,39 @@ class ReplayEngine:
             lsn_hi = max(int(lsn_hi or 0), int(truncate_pos[2]))
         if lsn_hi is None:
             return None
+        affected = None
+        if (
+            truncate_pos is None
+            and n_committed is not None
+            and n_committed <= self.PRUNE_BUCKETS_BELOW
+        ):
+            # narrow planning job: key columns only (no payloads) → distinct
+            # touched buckets, so the MERGE scans only affected target files.
+            # Both new AND old key images count: a key-changing update emits
+            # a synthetic delete of the OLD key during compaction, and its
+            # bucket must be read or the stale row would survive the merge.
+            is_del = F.col("event_type") == "delete"
+            new_keys = ev.filter(~is_del).select(*[
+                F.element_at("new_data", k).alias(k) for k in key_cols
+            ])
+            old_keys = ev.filter(
+                F.col("old_data").isNotNull()
+            ).select(*[
+                F.element_at("old_data", k).alias(k) for k in key_cols
+            ])
+            bucket = t._bucket_expr(key_cols, snap["n_buckets"])
+            affected = sorted(
+                r[0]
+                for r in new_keys.unionByName(old_keys)
+                .select(bucket.alias("b")).distinct().collect()
+                if r[0] is not None
+            )
         changes = compact_changes(ev, key_cols, data_cols)
         rec = t.merge(
             self.spark, changes, applied_lsn=int(lsn_hi),
             batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
             truncate_first=truncate_pos is not None,
+            affected_buckets=affected,
         )
         rec["table"] = tname
         return rec

@@ -186,6 +186,7 @@ class LakeTable:
         batch_id: int | str = 0,
         truncate_first: bool = False,
         extra_properties: dict | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> dict:
         """Exactly-once MERGE of a compacted change set.
 
@@ -194,9 +195,30 @@ class LakeTable:
         column names whose value must be carried forward from the target —
         the unchanged-TOAST contract).
 
+        ``affected_buckets``: optional pre-computed touched-bucket set (from
+        a narrow planning pass over the keys) — prunes the target scan to
+        only those buckets' files. When None, every bucket is read and
+        rewritten (the right plan for large batches that touch everything).
+
+        The whole MERGE is ONE Spark action: compaction → full-outer join →
+        bucketed write, with upsert/delete counts collected as observed
+        metrics of the same job. The change set is never cached — for
+        payload-heavy CDC rows, building a columnar cache of the changes
+        costs more than the single fused pipeline saves.
+
         Returns the lineage record (skipped=True if fenced off).
         """
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
+        phase = {}
+
+        def _mark(name):
+            nonlocal t0
+            now = time.monotonic()
+            phase[name] = int((now - t0) * 1000)
+            t0 = now
+
         snap = self.snapshot()
         fence = int(snap["properties"].get("applied_lsn", 0))
         if applied_lsn <= fence:
@@ -207,24 +229,21 @@ class LakeTable:
         n_buckets = snap["n_buckets"]
         data_cols = [n for n, _ in snap["schema"]]
 
-        # persist (not localCheckpoint): keeps the compaction aggregate's
-        # hash partitioning on the key visible to Catalyst, so the merge join
-        # below reuses it instead of re-shuffling the change set
+        obs = Observation()
         changes = changes.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
-        ).persist()
-
-        # one job: upsert/delete counts + affected-bucket set (also
-        # materializes the persisted change set)
-        cstats = changes.agg(
+        ).observe(
+            obs,
             F.count(F.when(F.col("_op") == "upsert", 1)).alias("u"),
             F.count(F.when(F.col("_op") == "delete", 1)).alias("d"),
-            F.collect_set("_bucket").alias("buckets"),
-        ).collect()[0]
+        )
+
         if truncate_first:
             affected = list(range(n_buckets))
+        elif affected_buckets is not None:
+            affected = sorted(affected_buckets)
         else:
-            affected = sorted(cstats["buckets"])
+            affected = None  # read everything; all buckets rewritten
 
         target = self.read(spark, buckets=affected).withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
@@ -267,14 +286,16 @@ class LakeTable:
         ).select(*sel)
 
         new_files = self._write_buckets(new_data, snap["version"] + 1)
+        cstats = obs.get
+        _mark("join_write_ms")
 
         files = dict(snap["files"]) if not truncate_first else {}
-        for b in affected:
+        for b in (affected if affected is not None else list(snap["files"])):
             files.pop(str(b), None)
         for b, fl in new_files.items():
             files[b] = fl
 
-        n_up, n_del = cstats["u"], cstats["d"]
+        n_up, n_del = int(cstats["u"]), int(cstats["d"])
         record = {
             "batch_id": batch_id,
             "applied_lsn": applied_lsn,
@@ -282,7 +303,8 @@ class LakeTable:
             "deletes": n_del,
             "buckets_rewritten": sorted(int(b) for b in new_files),
             "truncated": truncate_first,
-            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "wall_ms": sum(phase.values()),
+            "phase_ms": phase,
             "skipped": False,
         }
         snap2 = {
@@ -299,5 +321,4 @@ class LakeTable:
             "lineage": snap["lineage"] + [record],
         }
         self._commit(snap2)
-        changes.unpersist()
         return record

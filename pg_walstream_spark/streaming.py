@@ -51,6 +51,14 @@ def start_stream(
     )
 
     def apply_batch(df, epoch_id: int):
+        # foreachBatch hands a DataFrame bound to a CLONED SparkSession;
+        # re-root the engine on it so every DataFrame the batch touches
+        # (pending reads, dispo frames, target scans, the MERGE write)
+        # lives on ONE session. Mixing the clone with the original session
+        # deadlocks observed metrics (the write runs on one session's
+        # listener bus, the observation waits on the other's) and leaves
+        # conf divergence between plan fragments.
+        engine.spark = df.sparkSession
         st = engine._load_state()
         engine.process_batch(df, int(epoch_id), st)
 

@@ -257,7 +257,12 @@ class LakeTable:
         # TOAST-marked columns which carry the target's value forward.
         t = target.alias("t")
         c = changes.alias("c")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+        # plain equality, not eqNullSafe: PostgreSQL replica-identity /
+        # primary-key columns are NOT NULL, and null-safe join keys
+        # (coalesce(k,'')+isnull(k)) defeat exchange reuse — the join would
+        # re-shuffle the change set the compaction aggregate just hash
+        # partitioned by these exact columns
+        cond = [F.col(f"t.{k}") == F.col(f"c.{k}") for k in key_cols]
         j = t.join(c, cond, "full_outer")
         untouched = F.col("c._op").isNull()
         sel = [

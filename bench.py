@@ -47,7 +47,7 @@ QUERY_NAMES = [
     "cdc_last_image", "cdc_event_counts", "cdc_fence_dedup",
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "top_customers_window", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_groups", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_bruteforce_topk", "ann_ivf_topk", "lang_id", "text_quality",
     "token_stats", "doc_fingerprint", "multimodal_byte_features",
 ]

@@ -56,18 +56,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def minhash_signature(docs: DataFrame, k: int = 12, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """k min-wise hashes per doc: h_i = min over shingles of
-    md5(i || ':' || shingle). String-min over md5 hex is a valid min-wise
-    family and is engine-portable (same result in any SQL engine)."""
+    """k min-wise hashes per doc: h_i = min over shingles of the first 15
+    hex chars (60 bits) of md5(i || ':' || shingle), as a BIGINT.
+
+    Each DISTINCT shingle is hashed once per function into a small
+    dimension table, joined back, then min-aggregated: integer minima get
+    a true HashAggregate with map-side combine, where min over md5 *hex
+    strings* forced a SortAggregate over every (shingle row x k) value
+    (~50 s vs ~2 s for k=128 over 850k shingle rows). The dimension table
+    is broadcast — char-n-gram vocabularies are tiny (|alphabet|^n); for
+    unbounded token-n-gram vocabularies swap the broadcast for a shuffle
+    join on sh. Engine-portable: DuckDB reproduces the values with
+    CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
     ex = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    dim = ex.select("sh").distinct().select(
+        "sh",
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long").alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return (
+        ex.join(F.broadcast(dim), "sh")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(k)])
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
@@ -77,15 +98,25 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
     docs sharing any band key become a candidate pair (id_a < id_b)."""
     r = k // bands
     sig = minhash_signature(docs, k, text_col, id_col, n)
-    band_rows = None
-    for b in range(bands):
-        cols = [f"h{b * r + j}" for j in range(r)]
-        one = sig.select(
-            F.col(id_col),
+    # bands via ONE explode, not a per-band union: a union of b branches
+    # re-evaluates the (k mins x shingles) signature aggregate b times, and
+    # the candidate self-join doubles that again — 32 evaluations of the
+    # most expensive subtree at k=128/b=16. Explode + persist makes it one.
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("band_key"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+            ).alias("band_key"),
         )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        for b in range(bands)
+    ])
+    band_rows = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
+        .persist()
+    )
     a = band_rows.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -139,6 +170,82 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16,
     )
 
 
+def simhash_pieces(docs: DataFrame, n_pieces: int = 4, piece_bits: int = 16,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash (by default) as ``n_pieces`` integer piece columns
+    ``p0..p{n-1}`` of ``piece_bits`` bits each. Pieces, not one packed long:
+    (a) bit 63 of a packed value would overflow a signed long, and (b) the
+    pieces ARE the hamming-banding keys (see simhash_hamming_pairs), so
+    storing them pre-split skips re-extraction at query time."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    bits = n_pieces * piece_bits
+    bit_sums = []
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        shift = j % 4
+        bit = (
+            F.shiftright(
+                F.conv(F.substring("h", hex_pos, 1), 16, 10).cast("int"),
+                shift,
+            ).bitwiseAND(F.lit(1))
+        )
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    pieces = []
+    for p in range(n_pieces):
+        sig = None
+        for j in range(piece_bits):
+            jj = p * piece_bits + j
+            term = F.when(F.col(f"s{jj}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        pieces.append(sig.cast("long").alias(f"p{p}"))
+    return sums.select(F.col(id_col), *pieces)
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
+                          n_pieces: int = 4, piece_bits: int = 16,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs within hamming distance ``max_hamming`` of the 64-bit
+    simhash, via piece banding: by pigeonhole, two signatures at hamming
+    distance < n_pieces must agree exactly on at least one piece — with 4
+    pieces, any pair at hamming ≤ 3 shares ≥ 1 identical 16-bit piece — so
+    max_hamming must stay < n_pieces for full recall. Candidates come from
+    per-piece equality joins (join-key buckets, no all-pairs), then the
+    exact hamming distance over all pieces verifies."""
+    sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col)
+    cand = None
+    for p in range(n_pieces):
+        a = sig.select(F.col(id_col).alias("id_a"),
+                       F.col(f"p{p}").alias("pk"))
+        b = sig.select(F.col(id_col).alias("id_b"),
+                       F.col(f"p{p}").alias("pk"))
+        one = (
+            a.join(b, on="pk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = one if cand is None else cand.unionByName(one)
+    cand = cand.distinct()
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"p{p}").alias(f"pa{p}") for p in range(n_pieces)])
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"p{p}").alias(f"pb{p}") for p in range(n_pieces)])
+    ham = None
+    for p in range(n_pieces):
+        term = F.expr(f"bit_count(pa{p} ^ pb{p})")
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         n: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
@@ -152,11 +259,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
     )
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq_ok = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_shingle_freq
     )
     ex = ex.join(freq_ok.select("sh"), on="sh")
+    # sizes AFTER the stop-shingle filter: Jaccard is defined over the
+    # indexed (surviving) shingle space. Mixing filtered intersections with
+    # unfiltered set sizes biases scores toward 0 for docs dominated by
+    # corpus-common shingles — on a small-vocabulary corpus that zeroed out
+    # even true 90%-prefix near-dups.
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), on="sh")
@@ -167,6 +279,43 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
+                            k: int = 128, bands: int = 16, n: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact char-n-gram Jaccard over MinHash-LSH candidates — the
+    scale path for n-gram dedup: banding bounds the candidate set (no
+    all-pairs, no hot-shingle blowup), then each candidate pair is scored
+    EXACTLY from the two docs' distinct-shingle sets. Recall is the LSH
+    band recall: ≥99% for J ≥ 0.8 at k=128/bands=16 (r=8), degrading for
+    pairs just above ``threshold``."""
+    cand = minhash_lsh_pairs(docs, k=k, bands=bands,
+                             text_col=text_col, id_col=id_col, n=n)
+    sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("shs"),
+    ).withColumn("sz", F.size("shs"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"),
+                    F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),
+                    F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    # broadcast the shingle-set side: shipping the (candidate x two
+    # ~n_shingles arrays) through a shuffle costs GBs where the per-doc set
+    # table is MBs. At corpus sizes past broadcast range, swap for a
+    # bucketed join of candidates against sets partitioned by doc id.
+    return (
+        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -83,15 +83,16 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "sim", F.round(_dot(vec_col, "cvec") / (F.col("_n") * F.col("cnorm")), 9)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
+    # argmax via max_by, NOT row_number over a window: the window funnels
+    # all n x C scored rows through an Exchange before ranking, while
+    # max_by is algebraic — partial aggregation picks each vector's best
+    # cell map-side and only one row per vector moves. Tie-break matches
+    # the oracle: highest sim, then lowest centroid id.
+    ord_ = F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("centroid_id").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(F.max_by("centroid_id", ord_).alias("cell"))
+        .select(F.col(id_col), F.col("cell"))
     )
 
 
@@ -133,6 +134,9 @@ def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
     all-pairs O(n²) collapses to per-bucket joins — the scale path for
     embedding dedup at corpus size."""
     all_planes = lsh_planes(n_planes * bands, 64)
+    # persist: the per-band candidate self-joins reference this DF 2*bands
+    # times; without a cache each reference re-evaluates every plane dot
+    # product over the corpus
     base = emb.select(
         F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_n"),
         *[
@@ -141,7 +145,7 @@ def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
             ).alias(f"bucket{b}")
             for b in range(bands)
         ],
-    )
+    ).persist()
     cand = None
     for b in range(bands):
         a = base.select(F.col(id_col).alias("id_a"),

@@ -357,50 +357,134 @@ _SHINGLE_SQL = (
     "for x in range(1, greatest(length(text) - 1, 1))]) AS sh FROM documents"
 )
 
+# ---------------------------------------------------------------------------
+# Derived near-duplicate corpus: the sf fixtures contain 100% distinct docs,
+# so near-dup operators verified on the raw table are vacuous (a 0-row match
+# can't catch a broken operator — CORRECTNESS_r01 dedup_ngram_jaccard). Every
+# 5th doc gets a deterministic 90%-prefix copy at doc_id + 1,000,000; both
+# engines derive the same corpus, and the known planted pairs make recall
+# measurable (tests/test_analytics_quality.py).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_OFFSET = 1_000_000
+
+
+def _neardup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _NEARDUP_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, greatest((length(text) * 9) div 10, 3))"
+        ).alias("text"),
+    )
+    # repartition: the fixture is one parquet file per union branch, so
+    # without this every downstream shingle/hash map stage runs in TWO
+    # tasks no matter how many cores the session has
+    return d.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+_NEARDUP_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       substr(text, 1, greatest((length(text) * 9) // 10, 3)) AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+_CORPUS_SHINGLE_SQL = (
+    "SELECT DISTINCT doc_id AS id, unnest([substr(lower(text), x, 3) "
+    "for x in range(1, greatest(length(text) - 1, 1))]) AS sh FROM corpus"
+)
+
 
 def minhash_signatures(spark, sf_dir):
     return dd.minhash_signature(_t(spark, sf_dir, "documents"), k=8)
 
 
-MINHASH_SIG_SQL = """
-SELECT id AS doc_id,
-""" + ",\n".join(
-    f"       min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
-) + f"""
-FROM ({_SHINGLE_SQL}) GROUP BY id
+def _minhash_sig_ctes(shingle_sql: str, k: int) -> str:
+    """dim + sig CTE bodies: 60-bit md5-derived integer minhashes (see
+    dedup.minhash_signature — one md5 per DISTINCT shingle per function,
+    integer min aggregation)."""
+    dim_cols = ",\n".join(
+        f"         CAST('0x' || substr(md5('{i}:' || sh), 1, 15) AS BIGINT)"
+        f" AS h{i}"
+        for i in range(k)
+    )
+    mins = ",\n".join(f"         min(h{i}) AS h{i}" for i in range(k))
+    return f"""dim AS (
+  SELECT sh,
+{dim_cols}
+  FROM (SELECT DISTINCT sh FROM ({shingle_sql}))
+), sig AS (
+  SELECT id AS doc_id,
+{mins}
+  FROM ({shingle_sql}) JOIN dim USING (sh)
+  GROUP BY id
+)"""
+
+
+MINHASH_SIG_SQL = f"""
+WITH {_minhash_sig_ctes(_SHINGLE_SQL, 8)}
+SELECT * FROM sig
 """
+
+
+_MINHASH_K, _MINHASH_BANDS = 128, 16  # r = 8 rows/band
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
+    """MinHash-LSH candidate pairs over the derived near-dup corpus.
+    k=128/bands=16 (r=8): at r=8 a band only matches at Jaccard ~0.8+, so
+    candidates stay a tiny fraction of all pairs (r=2 at k=8 admitted 52%
+    of all pairs at sf0.01 — effectively all-pairs, the round-1 weakness)."""
+    return dd.minhash_lsh_pairs(_neardup_docs(spark, sf_dir),
+                                k=_MINHASH_K, bands=_MINHASH_BANDS)
 
 
-MINHASH_LSH_SQL = f"""
-WITH sig AS (
-  SELECT id AS doc_id,
-""" + ",\n".join(
-    f"         min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
-) + f"""
-  FROM ({_SHINGLE_SQL}) GROUP BY id
-), bands AS (
-""" + "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS band_key FROM sig"
-    for b in range(4)
-) + """
+def _minhash_cand_ctes(k: int, bands: int) -> str:
+    """Shared CTE block: derived corpus → minhash signatures → LSH bands →
+    distinct candidate pairs (used by both the LSH query and the
+    LSH+exact-Jaccard rescore query)."""
+    r = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+{_minhash_sig_ctes(_CORPUS_SHINGLE_SQL, k)}, bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+MINHASH_LSH_SQL = (
+    _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS)
+    + "\nSELECT id_a, id_b FROM cand\n"
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b USING (band, band_key)
-WHERE a.doc_id < b.doc_id
-"""
 
 _TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def simhash_signatures(spark, sf_dir):
-    return dd.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    """64-bit simhash as 4x16-bit piece columns (p0..p3). 16-bit signatures
+    birthday-collide at ~300 random docs (round-1: 63 phantom 'dup groups'
+    in a 500-unique-doc fixture); 64 bits makes accidental collisions
+    negligible, and the pieces double as the hamming-banding keys."""
+    return dd.simhash_pieces(_t(spark, sf_dir, "documents"))
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_pieces_sql(source: str = "documents", n_pieces: int = 4,
+                        piece_bits: int = 16) -> str:
+    bits = n_pieces * piece_bits
     bit_sums = []
     for j in range(bits):
         hex_pos = j // 4 + 1
@@ -409,71 +493,156 @@ def _simhash_sql(bits: int = 16) -> str:
             f"CAST(sum((((strpos('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1)"
             f" >> {shift}) & 1) * 2 - 1) AS BIGINT) AS s{j}"
         )
-    sig_terms = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
+    piece_terms = []
+    for p in range(n_pieces):
+        terms = " + ".join(
+            f"(CASE WHEN s{p * piece_bits + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(piece_bits)
+        )
+        piece_terms.append(f"CAST({terms} AS BIGINT) AS p{p}")
     return f"""
 WITH tok AS (
-  SELECT doc_id, md5(unnest({_TOKEN_SQL})) AS h FROM documents
+  SELECT doc_id, md5(unnest({_TOKEN_SQL})) AS h
+  FROM {source}
 ), sums AS (
   SELECT doc_id, {', '.join(bit_sums)} FROM tok GROUP BY doc_id
 )
-SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM sums
+SELECT doc_id, {', '.join(piece_terms)} FROM sums
 """
 
 
-SIMHASH_SIG_SQL = _simhash_sql(16)
+SIMHASH_SIG_SQL = _simhash_pieces_sql("documents")
 
 
-def dedup_simhash_groups(spark, sf_dir):
-    return dd.simhash_dup_groups(_t(spark, sf_dir, "documents"), bits=16)
+def dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at simhash hamming distance ≤ 3 over the derived
+    near-dup corpus, via 4x16-bit piece banding (pigeonhole-complete for
+    hamming ≤ 3) + exact hamming verification."""
+    return dd.simhash_hamming_pairs(_neardup_docs(spark, sf_dir),
+                                    max_hamming=3)
 
 
-SIMHASH_GROUPS_SQL = f"""
-SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM ({_simhash_sql(16)}) GROUP BY simhash HAVING count(*) > 1
+SIMHASH_PAIRS_SQL = f"""
+WITH corpus AS ({_NEARDUP_DOCS_SQL}),
+sig AS ({_simhash_pieces_sql("corpus")}),
+cand AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a"
+    f" JOIN sig b ON a.p{p} = b.p{p} WHERE a.doc_id < b.doc_id"
+    for p in range(4)
+) + """
+),
+dcand AS (SELECT DISTINCT id_a, id_b FROM cand)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1))
+          + bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3))
+        AS INTEGER) AS hamming
+FROM dcand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1))
+    + bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) <= 3
 """
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.65, max_shingle_freq=200
+    """Exact char-3-gram Jaccard over MinHash-LSH candidates on the derived
+    near-dup corpus. Round-1 registered the raw inverted-index variant,
+    which (a) was vacuous (0 rows — the fixture has no duplicates) and
+    (b) blows up through hot shingles at corpus scale; LSH banding bounds
+    the candidate set and the rescore is exact, so precision is exact and
+    recall is the band recall (≥99% at J ≥ 0.8). The planted 90%-prefix
+    copies land at J ≈ 0.85-0.95."""
+    return dd.ngram_jaccard_lsh_pairs(
+        _neardup_docs(spark, sf_dir), threshold=0.65,
+        k=_MINHASH_K, bands=_MINHASH_BANDS,
     )
 
 
-NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLE_SQL}),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-ok AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY sh)
-       WHERE df <= 200),
-shf AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM ok)),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+NGRAM_JACCARD_SQL = _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS) + """,
+sets AS (
+  SELECT doc_id AS id,
+         list_distinct([substr(lower(text), x, 3)
+                        for x in range(1, greatest(length(text) - 1, 1))])
+           AS shs
+  FROM corpus),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.shs, b.shs)) AS i,
+         len(a.shs) AS sza, len(b.shs) AS szb
+  FROM cand JOIN sets a ON a.id = id_a JOIN sets b ON b.id = id_b)
 SELECT id_a, id_b,
-       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.65
+       round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
+FROM scored
+WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.65
+"""
+
+
+def _neardup_embeddings(spark, sf_dir):
+    """embeddings ∪ perturbed copies of every 5th vector (vec_id +
+    1,000,000; element i nudged by ±0.02 with alternating sign) — planted
+    cos≈0.99 near-dup pairs, since the raw fixture has none above ~0.6.
+    Everything is double on both engines so scores match bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("embedding"),
+    )
+    dups = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.02 * (case when (i + 1) % 2 = 0 then 1.0d else -1.0d end))"
+        ).alias("embedding"),
+    )
+    # single-file fixture → repartition so plane dots/norms parallelize
+    return e.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+_NEARDUP_EMB_SQL = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE)
+                           + 0.02 * (CASE WHEN i % 2 = 0
+                                          THEN 1.0 ELSE -1.0 END))
+         AS embedding
+FROM embeddings WHERE vec_id % 5 = 0
 """
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    return dd.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
-                                  threshold=0.45)
+    """Embedding near-dup detection, scale path: multi-band sign-LSH
+    candidates + exact cosine rescore at threshold 0.95 over the derived
+    near-dup corpus. The round-1 registration was a brute-force crossJoin
+    (82.6 s at sf0.1, O(n²) at corpus scale); the oracle here stays the
+    brute-force SQL, so the LSH path must reproduce it exactly — recall of
+    the banding at cos ≥ 0.95 is ~1-2.4e-6 miss/pair (6 planes x 10
+    bands), verified against brute force at sf0.01 and sf0.1 in
+    tests/test_analytics_quality.py."""
+    return sim.ann_lsh_pairs(
+        _neardup_embeddings(spark, sf_dir), threshold=0.95,
+        n_planes=6, bands=10,
+    )
 
 
-EMBED_COSINE_SQL = """
-WITH n AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings)
+EMBED_COSINE_SQL = f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM corpus)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6)
          AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
+WHERE round(list_dot_product(a.embedding, b.embedding)
+            / (a.nrm * b.nrm), 6) >= 0.95
 """
 
 
@@ -843,7 +1012,7 @@ QUERIES = {
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_LSH_SQL),
     "simhash_signatures": (simhash_signatures, SIMHASH_SIG_SQL),
-    "dedup_simhash_groups": (dedup_simhash_groups, SIMHASH_GROUPS_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMBED_COSINE_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),

@@ -1,0 +1,123 @@
+"""Quality gates for the near-dup/dedup family over the derived corpus.
+
+The driver's DuckDB oracle proves Spark and SQL agree; these tests prove the
+operators MEAN something: the planted 90%-prefix / ±0.02-perturbed copies
+(queries._neardup_docs / _neardup_embeddings) must actually be found, the
+LSH candidate sets must stay selective, and the LSH+rescore embedding path
+must reproduce brute force exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_walstream_spark import queries as Q
+from pg_walstream_spark.analytics import dedup as dd
+
+SF = "/root/testdata/sf0.01"
+OFF = Q._NEARDUP_OFFSET
+
+
+def planted(df):
+    return df.filter(F.col("id_b") - F.col("id_a") == OFF)
+
+
+def test_corpus_has_planted_near_dups(spark):
+    corpus = Q._neardup_docs(spark, SF)
+    n = corpus.count()
+    assert n == 600  # 500 docs + every-5th copy
+    assert corpus.select("doc_id").distinct().count() == n
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark):
+    out = Q.dedup_ngram_jaccard(spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0, "jaccard must be non-vacuous on the derived corpus"
+    got_planted = {
+        (r["id_a"], r["id_b"]) for r in rows if r["id_b"] - r["id_a"] == OFF
+    }
+    assert len(got_planted) == 100, f"found {len(got_planted)}/100 planted"
+    assert all(r["jaccard"] >= 0.65 for r in rows)
+
+
+def test_minhash_lsh_selective_and_recalls_planted(spark):
+    pairs = Q.dedup_minhash_lsh(spark, SF)
+    n_docs = Q._neardup_docs(spark, SF).count()
+    possible = n_docs * (n_docs - 1) // 2
+    rows = pairs.collect()
+    ratio = len(rows) / possible
+    assert ratio < 0.05, f"candidate ratio {ratio:.3f} — banding not selective"
+    got_planted = sum(1 for r in rows if r["id_b"] - r["id_a"] == OFF)
+    assert got_planted >= 99, f"planted recall {got_planted}/100"
+
+
+def test_simhash_pairs_nonvacuous_and_within_hamming(spark):
+    out = Q.dedup_simhash_pairs(spark, SF).collect()
+    assert len(out) > 0
+    assert all(0 <= r["hamming"] <= 3 for r in out)
+    assert any(r["id_b"] - r["id_a"] == OFF for r in out)
+
+
+def test_simhash64_no_birthday_collisions(spark):
+    """Docs colliding at hamming 0 on 64 bits must be GENUINE near-dups
+    (high token overlap), never birthday accidents — the 16-bit signature
+    produced 63 phantom dup groups on this same 500-unique-doc fixture.
+    (The fixture contains one true near-dup pair, 458/462, token J=0.96.)"""
+    docs = Q._t(spark, SF, "documents")
+    sig = dd.simhash_pieces(docs)
+    groups = (
+        sig.groupBy("p0", "p1", "p2", "p3")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert len(groups) <= 3, f"{len(groups)} collision groups — birthday?"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for g in groups:
+        ids = g["ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = set(texts[ids[i]].split()), set(texts[ids[j]].split())
+                jac = len(a & b) / len(a | b)
+                assert jac >= 0.8, f"phantom collision {ids[i]}/{ids[j]} J={jac:.2f}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
+def test_embedding_lsh_rescore_equals_bruteforce(spark, sf):
+    corpus = Q._neardup_embeddings(spark, sf)
+    lsh = sorted(map(tuple, Q.dedup_embedding_cosine(spark, sf).collect()))
+    brute = sorted(
+        map(tuple, dd.embedding_near_dups(corpus, threshold=0.95).collect())
+    )
+    assert lsh == brute
+    assert len(lsh) > 0
+
+
+def test_ivf_assignment_matches_bruteforce_argmax(spark):
+    """IVF cell assignment must pick the true nearest centroid for every
+    vector (exactness of the max_by aggregation path)."""
+    from pg_walstream_spark.analytics import similarity as sim
+
+    emb = Q._t(spark, SF, "embeddings")
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assignments(emb, n_centroids=8).collect()
+    }
+    import math
+
+    rows = emb.select("vec_id", "embedding").collect()
+    cents = sorted(rows, key=lambda r: r["vec_id"])[:8]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 9)
+
+    for r in rows:
+        best = max(
+            cents,
+            key=lambda c: (cos(r["embedding"], c["embedding"]), -c["vec_id"]),
+        )
+        assert assign[r["vec_id"]] == best["vec_id"], r["vec_id"]

@@ -246,6 +246,7 @@ class ReplayEngine:
             carry_catalog=carry_catalog,
             carry_open_xid=st.get("open_xid"),
             carry_open_stream_xid=st.get("open_stream_xid"),
+            carry_aborted_subxids=st.get("aborted_subxids"),
         )
 
         _mark("control_scan")
@@ -266,6 +267,14 @@ class ReplayEngine:
                 .withColumn("txn_status", F.coalesce("txn_status", F.lit("open")))
                 .select(*events.columns)
             )
+            # spilled rows of a since-stream-aborted SUBtransaction must not
+            # apply when their top-level txn commits
+            aborted_subs = [int(x) for x in getattr(ctx, "aborted_subxids", [])]
+            if aborted_subs:
+                pending = pending.filter(
+                    F.col("sub_xid").isNull()
+                    | ~F.col("sub_xid").isin(aborted_subs)
+                )
             events = events.unionByName(pending)
 
         # Materialize the decoded batch once (localCheckpoint: raw row
@@ -405,6 +414,12 @@ class ReplayEngine:
         }
         st["open_xid"] = getattr(ctx, "open_xid_carry", None)
         st["open_stream_xid"] = getattr(ctx, "open_stream_carry", None)
+        # sub-abort markers must outlive the batch while their top-level
+        # txns are still pending; once nothing is pending they are spent
+        st["aborted_subxids"] = (
+            [int(x) for x in getattr(ctx, "aborted_subxids", [])]
+            if n_pending else []
+        )
         st["applied_lsn"] = batch_applied
         rec = {
             "batch_idx": batch_idx,

@@ -282,6 +282,39 @@ def gen_truncate(n_base: int = 120, seed: int = 42):
     return base, b
 
 
+def gen_streaming_subabort(n_base: int = 60, seed: int = 42):
+    """Streamed txn X with subtransaction Y aborted mid-stream
+    (stream_abort with subxid != xid — the case round 1 got wrong in both
+    the kernel and the golden applier, in opposite directions): X's rows,
+    including rows streamed AFTER the sub-abort, commit; Y's must vanish."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    xid_top = b.alloc_xid()
+    xid_sub = b.alloc_xid()
+    b.emit(e.encode_stream_start(xid_top, True))
+    for _ in range(4):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),
+                               xid=xid_top))
+    for j in range(3):
+        row = {"repo": "orgS/subdoomed", "path": f"s{j}.py",
+               "commit": "1" * 40, "lang": "python", "content": "sub-aborted"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row), xid=xid_sub))
+    b.emit(e.encode_stream_stop())
+    b.emit(e.encode_stream_abort(xid_top, xid_sub))
+    b.emit(e.encode_stream_start(xid_top, False))
+    for _ in range(3):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),
+                               xid=xid_top))
+    b.emit(e.encode_stream_stop())
+    commit_lsn = b.lsn
+    b.emit(e.encode_stream_commit(xid_top, commit_lsn, commit_lsn + 7,
+                                  b.seq * 1_000))
+    b.commit_lsns.append(commit_lsn + 7)
+    return base, b
+
+
 def gen_schema_evo(n_base: int = 100, seed: int = 42):
     """Mid-stream Relation re-announcement adding ``stars int`` — drives the
     schema-evolution path (relation diff → lake ADD COLUMN)."""

@@ -37,6 +37,14 @@ def _default_for(ty: str) -> Column:
 
 
 def pg_text_to_bool(col) -> Column:
+    """PG bool text coercion. Deliberately WIDER than the reference's
+    parse_pg_bool (src/deserializer.rs:102-114, which accepts only t/1/f/0
+    single chars and exact-lowercase true/false/on/off/yes/no): this also
+    takes 'y'/'n', trims whitespace, and is case-insensitive. PostgreSQL's
+    own bool input parser accepts all of these; the reference only ever
+    sees the canonical 't'/'f' that PG text output emits, so the widening
+    is unobservable on real CDC streams but friendlier as a standalone
+    coercion utility."""
     c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
     return (
         F.when(c.isin(*_TRUE), F.lit(True))

@@ -113,7 +113,12 @@ class GoldenApplier:
             if op is None:
                 return False
             if m.get("xid") is not None and self.parser.in_stream_xid is not None:
-                self.stream_bufs.setdefault(m["xid"], []).append(op)
+                # buffer under the TOP-level xid (the stream block's), tagged
+                # with the per-message xid (the emitting SUBtransaction) so a
+                # stream_abort(top, sub) can surgically discard the sub span
+                self.stream_bufs.setdefault(
+                    self.parser.in_stream_xid, []
+                ).append((m["xid"], op))
             elif self.cur_txn is not None:
                 self.cur_txn.append(op)
             return False
@@ -124,13 +129,22 @@ class GoldenApplier:
             self.cur_txn = None
             return stop_at_lsn is not None and m["end_lsn"] >= stop_at_lsn
         if et == "stream_commit":
-            ops = self.stream_bufs.pop(m["xid"], [])
+            ops = [op for _sub, op in self.stream_bufs.pop(m["xid"], [])]
             if m["end_lsn"] > start_after_lsn:
                 self._apply_ops(ops)
                 self.applied_lsn = m["end_lsn"]
             return stop_at_lsn is not None and m["end_lsn"] >= stop_at_lsn
         if et == "stream_abort":
-            self.stream_bufs.pop(m["xid"], None)
+            # whole-txn abort iff subxid == xid; otherwise discard ONLY the
+            # subtransaction's ops (reference protocol.rs:1105-1132)
+            sub = m.get("subxid", m["xid"])
+            if sub == m["xid"]:
+                self.stream_bufs.pop(m["xid"], None)
+            elif m["xid"] in self.stream_bufs:
+                self.stream_bufs[m["xid"]] = [
+                    (s, op) for s, op in self.stream_bufs[m["xid"]]
+                    if s != sub
+                ]
             return False
         if et == "prepare":
             if self.cur_txn is not None:
@@ -138,7 +152,9 @@ class GoldenApplier:
                 self.cur_txn = None
             return False
         if et == "stream_prepare":
-            self.prepared[m["gid"]] = self.stream_bufs.pop(m["xid"], [])
+            self.prepared[m["gid"]] = [
+                op for _sub, op in self.stream_bufs.pop(m["xid"], [])
+            ]
             return False
         if et == "commit_prepared":
             ops = self.prepared.pop(m["gid"], [])

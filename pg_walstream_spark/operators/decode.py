@@ -57,6 +57,12 @@ EVENT_ARROW_SCHEMA = pa.schema(
         ("truncate_tables", pa.list_(pa.string())),
         ("gid", pa.string()),
         ("error", pa.string()),
+        # subtransaction id of in-stream rows (the per-message xid prefix —
+        # protocol.rs:1105-1132 discards only this span on a sub-abort)
+        ("sub_xid", pa.int64()),
+        # pg_logical_emit_message payload (protocol.rs:1027-1052 delivers
+        # the body; round 1 dropped it and kept only the prefix)
+        ("message_content", pa.binary()),
     ]
 )
 
@@ -67,7 +73,8 @@ EVENT_SPARK_DDL = (
     "old_data map<string,string>, new_data map<string,string>, "
     "new_toast array<string>, txn_status string, commit_lsn long, "
     "end_lsn long, commit_ts_us long, final_lsn long, "
-    "truncate_tables array<string>, gid string, error string"
+    "truncate_tables array<string>, gid string, error string, "
+    "sub_xid long, message_content binary"
 )
 
 CONTROL_TAGS = frozenset(
@@ -174,20 +181,34 @@ def build_context(
     carry_catalog: dict | None = None,
     carry_open_xid: int | None = None,
     carry_open_stream_xid: int | None = None,
+    carry_aborted_subxids: list[int] | None = None,
 ) -> DecodeContext:
     """Sequentially replay the (rare) control frames on the driver to build
     the broadcast context. ``control_frames``: dicts with seq, wal_start,
     data — MUST be in seq order.
 
     ``carry_catalog``/``carry_open_xid`` resume state from the previous
-    micro-batch (relation catalog; a transaction left open at the cut)."""
+    micro-batch (relation catalog; a transaction left open at the cut);
+    ``carry_aborted_subxids``: subtransactions stream-aborted in earlier
+    batches whose top-level transactions are still unresolved."""
     ctx = DecodeContext()
     ctx.protocol_version = protocol_version
+    aborted_subxids: set[int] = set(carry_aborted_subxids or [])
     parser = PyWalParser(protocol_version)
     if carry_catalog:
+        # normalize fully: engine state round-trips through JSON, turning
+        # the inner names/key_flags/type_oids tuples into lists — without
+        # re-tupling, `prev[1:] != new[1:]` below would flag every identical
+        # relation re-announcement after a restart as a schema change
+        def _rv(v):
+            if isinstance(v, RelationVersion):
+                v = tuple(v)
+            return RelationVersion(
+                v[0], v[1], v[2], v[3], tuple(v[4]), tuple(v[5]), tuple(v[6])
+            )
+
         ctx.catalog = {
-            oid: [RelationVersion(*v) if not isinstance(v, RelationVersion) else v
-                  for v in versions]
+            oid: [_rv(v) for v in versions]
             for oid, versions in carry_catalog.items()
         }
 
@@ -276,8 +297,14 @@ def build_context(
         elif et == "stream_prepare":
             dispo.setdefault(m["xid"], (ST_PREPARED, 0, 0, 0))
         elif et == "stream_abort":
+            # subxid == xid → the whole streamed transaction aborts;
+            # subxid != xid → ONLY the subtransaction's span of changes is
+            # discarded; the top-level txn stays open and may still commit
+            # (/root/reference/src/protocol.rs:1105-1132)
             if m["xid"] == m.get("subxid", m["xid"]):
                 dispo[m["xid"]] = (ST_ABORTED, 0, 0, 0)
+            else:
+                aborted_subxids.add(m["subxid"])
         # origin/type/message/truncate: no context effect
 
     ctx.span_starts = np.array(span_s, np.int64)
@@ -297,6 +324,7 @@ def build_context(
     open_spans = [x for s_, e_, x in zip(span_s, span_e, span_x)
                   if e_ == 1 << 62]
     ctx.open_stream_carry = open_spans[-1] if open_spans else None
+    ctx.aborted_subxids = np.array(sorted(aborted_subxids), np.int64)
     return ctx
 
 
@@ -743,6 +771,18 @@ def _decode_dml_group(
 
     # relation resolution: group rows by (oid, catalog version)
     xid, status, cl, el, ts = _stamp_txn(gseq, stream_xid[idx], ctx)
+    # per-message xid prefix of in-stream rows = the emitting
+    # SUBtransaction's xid; rows of a stream-aborted subtransaction are
+    # poisoned even though their top-level txn may still commit
+    gxo = xid_off[idx]
+    sub = np.where(
+        gxo > 0, _be32(buf, np.where(gxo > 0, o[idx] + 1, 0)), -1
+    ).astype(np.int64)
+    aborted_sub = getattr(ctx, "aborted_subxids", None)
+    if aborted_sub is not None and len(aborted_sub):
+        status = np.where(
+            (sub >= 0) & np.isin(sub, aborted_sub), ST_ABORTED, status
+        ).astype(np.int8)
     event_name = {
         c.TAG_INSERT: c.EVENT_INSERT,
         c.TAG_UPDATE: c.EVENT_UPDATE,
@@ -760,7 +800,7 @@ def _decode_dml_group(
             rows_err = np.nonzero(omask)[0]
             sub_tables.append(_error_table(
                 rows_err, gseq, lsn[idx], wal_end[idx], server_time[idx],
-                event_name, xid,
+                event_name, xid, sub,
                 "unknown relation" if u_oid >= 0 else "malformed dml message",
             ))
             continue
@@ -775,14 +815,14 @@ def _decode_dml_group(
                 event_name, rel, int(u_oid), sel, buf, gseq, lsn[idx],
                 wal_end[idx], server_time[idx], xid, status, cl, el, ts,
                 key_type_codes, has_old, old_kinds, old_starts, old_lens,
-                new_kinds, new_starts, new_lens, g_err, errmsg,
+                new_kinds, new_starts, new_lens, g_err, errmsg, sub,
             )
             sub_tables.append(tbl)
     return pa.concat_tables(sub_tables, promote_options="default") \
         if sub_tables else EVENT_ARROW_SCHEMA.empty_table()
 
 
-def _error_table(sel, gseq, glsn, gwal_end, gst, event_name, xid, msg):
+def _error_table(sel, gseq, glsn, gwal_end, gst, event_name, xid, sub, msg):
     M = len(sel)
     return pa.Table.from_arrays(
         [
@@ -799,6 +839,8 @@ def _error_table(sel, gseq, glsn, gwal_end, gst, event_name, xid, msg):
             pa.nulls(M, pa.int64()), pa.nulls(M, pa.int64()),
             pa.nulls(M, pa.list_(pa.string())), pa.nulls(M, pa.string()),
             pa.array([msg] * M, pa.string()),
+            pa.array(sub[sel], mask=sub[sel] < 0),
+            pa.nulls(M, pa.binary()),
         ],
         schema=EVENT_ARROW_SCHEMA,
     )
@@ -808,7 +850,7 @@ def _assemble_dml_subgroup(
     event_name, rel: RelationVersion, oid, sel, buf, gseq, glsn, gwal_end,
     gst, xid, status, cl, el, ts, key_type_codes, has_old,
     old_kinds, old_starts, old_lens, new_kinds, new_starts, new_lens,
-    g_err, errmsg,
+    g_err, errmsg, sub,
 ):
     M = len(sel)
     names = rel.names
@@ -859,6 +901,8 @@ def _assemble_dml_subgroup(
             pa.nulls(M, pa.list_(pa.string())),
             pa.nulls(M, pa.string()),
             pa.array(errmsg[sel], pa.string()),
+            pa.array(sub[sel], mask=sub[sel] < 0),
+            pa.nulls(M, pa.binary()),
         ],
         schema=EVENT_ARROW_SCHEMA,
     )
@@ -932,6 +976,7 @@ def _decode_control_rows(
         elif et == "message":
             r["final_lsn"] = m["message_lsn"]
             r["table_name"] = m["prefix"]
+            r["message_content"] = bytes(m["content"])
         elif et in ("begin_prepare", "prepare", "commit_prepared",
                     "rollback_prepared", "stream_prepare"):
             r["gid"] = m["gid"]
@@ -942,6 +987,7 @@ def _decode_control_rows(
                 r["txn_status"] = "committed"
         elif et == "stream_abort":
             r["txn_status"] = "aborted"
+            r["sub_xid"] = m.get("subxid")
         rows.append(r)
     return _rows_to_table(rows)
 

@@ -111,6 +111,23 @@ def test_e2e_truncate_split_across_batches(spark, tmp_path, batch_frames):
     assert_matches_golden(spark, eng, {"repos": base}, frames)
 
 
+@pytest.mark.parametrize("batch_frames", [10_000, 7])
+def test_e2e_streaming_subtxn_abort(spark, tmp_path, batch_frames):
+    """stream_abort with subxid != xid discards ONLY the subtransaction's
+    rows; the top-level txn (including rows streamed after the sub-abort)
+    still commits. batch_frames=7 splits the sub rows and their abort into
+    different micro-batches (pending spill + carried abort markers)."""
+    base, b = wg.gen_streaming_subabort(n_base=30)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=batch_frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    lake = eng.table("repos")
+    n_doomed = lake.read(spark).filter("repo = 'orgS/subdoomed'").count()
+    assert n_doomed == 0
+    assert lake.read(spark).count() == 30 + 7  # base + committed inserts
+
+
 def test_e2e_schema_evolution(spark, tmp_path):
     base, b = wg.gen_schema_evo(n_base=30)
     frames = b.to_table()

@@ -105,9 +105,9 @@ class ReplayEngine:
             for rec in LakeTable(
                 os.path.join(self.tables_dir, t)
             ).snapshot()["lineage"]:
-                if rec.get("event") == "add_columns":
-                    rows.append((t, None, None, None, None, None, None, None,
-                                 "schema_evolution"))
+                if rec.get("event"):
+                    rows.append((t, None, rec.get("lsn"), None, None, None,
+                                 None, None, str(rec["event"])))
                     continue
                 rows.append((
                     t, str(rec.get("batch_id")), rec.get("applied_lsn"),
@@ -457,21 +457,96 @@ class ReplayEngine:
             "commit_ts_us long",
         )
 
+    # widening PG type promotions the lake applies as metadata-only schema
+    # updates (parquet up-casts old files at read time); anything else is
+    # surfaced loudly as schema_evolution_unsupported
+    _PG_PROMOTIONS = {(21, 23), (21, 20), (23, 20), (700, 701)}
+
     def _apply_schema_change(self, change: dict) -> None:
+        """Structural relation diff → lake schema evolution
+        (/root/reference/src/protocol.rs:1430-1443 diffs all of: names,
+        types, replica identity). Supported: ADD, positional RENAME
+        (read-alias, no rewrite), DROP, widening type promotion. A table
+        rename, non-widening type change, or key/replica-identity change
+        is recorded as a loud ``schema_evolution_unsupported`` lineage
+        event instead of silently mis-mapping columns."""
         new = change["new"]
         old = change["old"]
+        lsn = change.get("lsn")
         tname = new[2]
+        if old[2] != new[2]:
+            t = self.table(old[2])
+            if t.exists:
+                t.log_event({
+                    "event": "schema_evolution_unsupported",
+                    "kind": "table_rename", "from": old[2], "to": new[2],
+                    "lsn": lsn,
+                })
+            return
         t = self.table(tname)
         if not t.exists:
             return
-        old_names = set(old[4])
+        old_names, new_names = list(old[4]), list(new[4])
+        old_types, new_types = list(old[6]), list(new[6])
+
+        renames = []
+        if len(old_names) == len(new_names):
+            for i, (a, b) in enumerate(zip(old_names, new_names)):
+                if (a != b and old_types[i] == new_types[i]
+                        and a not in new_names and b not in old_names):
+                    renames.append((a, b))
+        ren_old = {a for a, _ in renames}
+        ren_new = {b for _, b in renames}
+
+        for a, b in renames:
+            t.rename_column(a, b, lsn=lsn)
         added = [
             (n, _PG_TYPE_TO_SPARK.get(toid, "string"))
-            for n, toid in zip(new[4], new[6])
-            if n not in old_names
+            for n, toid in zip(new_names, new_types)
+            if n not in old_names and n not in ren_new
         ]
         if added:
-            t.add_columns(added, lsn=change.get("lsn"))
+            t.add_columns(added, lsn=lsn)
+        dropped = [n for n in old_names
+                   if n not in new_names and n not in ren_old]
+        if dropped:
+            keys = set(t.snapshot()["key_columns"])
+            undroppable = [n for n in dropped if n in keys]
+            if undroppable:
+                t.log_event({
+                    "event": "schema_evolution_unsupported",
+                    "kind": "drop_key_column", "columns": undroppable,
+                    "lsn": lsn,
+                })
+            t.drop_columns([n for n in dropped if n not in keys], lsn=lsn)
+
+        ot_map = dict(zip(old_names, old_types))
+        for n, nt in zip(new_names, new_types):
+            ot = ot_map.get(n)
+            if ot is None or ot == nt:
+                continue
+            if (ot, nt) in self._PG_PROMOTIONS:
+                t.promote_column(
+                    n, _PG_TYPE_TO_SPARK.get(nt, "string"), lsn=lsn
+                )
+            else:
+                t.log_event({
+                    "event": "schema_evolution_unsupported",
+                    "kind": "type_change", "column": n,
+                    "from_oid": int(ot), "to_oid": int(nt), "lsn": lsn,
+                })
+
+        old_keys = [n for n, fl in zip(old_names, old[5]) if fl & 1]
+        new_keys = [n for n, fl in zip(new_names, new[5]) if fl & 1]
+        new_keys_mapped = [
+            next((b for a, b in renames if a == k), k) for k in old_keys
+        ]
+        if sorted(new_keys) != sorted(new_keys_mapped):
+            t.log_event({
+                "event": "schema_evolution_unsupported",
+                "kind": "key_change", "from": old_keys, "to": new_keys,
+                "lsn": lsn,
+            })
 
     def _committed_truncates(self, events: DataFrame, effective_stop,
                              fence_floor: int) -> dict:
@@ -550,14 +625,22 @@ class ReplayEngine:
             # Both new AND old key images count: a key-changing update emits
             # a synthetic delete of the OLD key during compaction, and its
             # bucket must be read or the stale row would survive the merge.
+            al = snap.get("aliases", {})
+
+            def _ma(mc, nm):
+                alts = [nm] + list(al.get(nm, []))
+                if len(alts) == 1:
+                    return F.element_at(mc, nm)
+                return F.coalesce(*[F.element_at(mc, a) for a in alts])
+
             is_del = F.col("event_type") == "delete"
             new_keys = ev.filter(~is_del).select(*[
-                F.element_at("new_data", k).alias(k) for k in key_cols
+                _ma("new_data", k).alias(k) for k in key_cols
             ])
             old_keys = ev.filter(
                 F.col("old_data").isNotNull()
             ).select(*[
-                F.element_at("old_data", k).alias(k) for k in key_cols
+                _ma("old_data", k).alias(k) for k in key_cols
             ])
             bucket = t._bucket_expr(key_cols, snap["n_buckets"])
             affected = sorted(
@@ -566,7 +649,8 @@ class ReplayEngine:
                 .select(bucket.alias("b")).distinct().collect()
                 if r[0] is not None
             )
-        changes = compact_changes(ev, key_cols, data_cols)
+        changes = compact_changes(ev, key_cols, data_cols,
+                                  aliases=snap.get("aliases"))
         rec = t.merge(
             self.spark, changes, applied_lsn=int(lsn_hi),
             batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",

@@ -337,6 +337,33 @@ def gen_schema_evo(n_base: int = 100, seed: int = 42):
     return base, b
 
 
+def gen_rename_column(n_base: int = 30, seed: int = 42):
+    """Mid-stream positional column rename (lang → language) between two
+    committed transactions: the engine must apply it as a read-alias
+    rename (old rows keep their values under the new name) or fail loudly
+    — never replay into ghost columns."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.begin()
+    for _ in range(6):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    cols_v2 = [
+        (f, ("language" if n == "lang" else n), t, m)
+        for f, n, t, m in REPOS_COLUMNS
+    ]
+    b.relation(REPOS_OID, "repos", cols_v2)
+    b.begin()
+    for _ in range(5):
+        row = pl.make_insert()
+        row["language"] = row.pop("lang")
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row, cols_v2)))
+    b.commit()
+    return base, b
+
+
 def gen_streaming(n_base: int = 100, seed: int = 42):
     """Two interleaved streamed transactions (protocol v2): segments
     StreamStart..DML..StreamStop for xids A and B; A stream-commits,

@@ -103,6 +103,28 @@ class GoldenApplier:
                     "columns")}
             if old is not None and old != new:
                 self.schema_changes.append({"old": old, "new": new, "lsn": lsn})
+                # positional RENAME (same arity/type, both names unique to
+                # their side) migrates stored row keys — the engine's
+                # read-alias rename keeps old data under the new name
+                on = [c[1] for c in old["columns"]]
+                nn = [c[1] for c in new["columns"]]
+                if len(on) == len(nn) and old["relname"] == new["relname"]:
+                    rens = [
+                        (a, b) for i, (a, b) in enumerate(zip(on, nn))
+                        if a != b and a not in nn and b not in on
+                        and old["columns"][i][2] == new["columns"][i][2]
+                    ]
+                    if rens:
+                        tbl = self.state.get(new["relname"])
+                        if tbl is not None:
+                            for row in tbl.values():
+                                for a, b in rens:
+                                    if a in row:
+                                        row[b] = row.pop(a)
+                        for row in self.unkeyed_base.get(new["relname"], []):
+                            for a, b in rens:
+                                if a in row:
+                                    row[b] = row.pop(a)
             self.catalog[m["relation_oid"]] = new
             return False
         if et == "begin":

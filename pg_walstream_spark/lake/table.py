@@ -131,6 +131,76 @@ class LakeTable:
         ]
         self._commit(snap)
 
+    def rename_column(self, old: str, new: str, lsn: int | None = None) -> None:
+        """Metadata-only RENAME (Iceberg analog): the snapshot records the
+        old name as a read alias, and ``read`` coalesces alias columns into
+        the current name — files written before the rename keep serving
+        their data without a rewrite."""
+        snap = self.snapshot()
+        names = [n for n, _ in snap["schema"]]
+        if old not in names or new in names:
+            return
+        aliases = {k: list(v) for k, v in snap.get("aliases", {}).items()}
+        chain = aliases.pop(old, [])
+        aliases[new] = [old] + chain
+        snap["version"] += 1
+        snap["schema"] = [
+            [new if n == old else n, ty] for n, ty in snap["schema"]
+        ]
+        snap["key_columns"] = [
+            new if k == old else k for k in snap["key_columns"]
+        ]
+        snap["aliases"] = aliases
+        snap["lineage"] = snap["lineage"] + [
+            {"event": "rename_column", "from": old, "to": new, "lsn": lsn}
+        ]
+        self._commit(snap)
+
+    def drop_columns(self, cols: list[str], lsn: int | None = None) -> None:
+        """Metadata-only DROP: removed from the snapshot schema; the column
+        simply stops being read from existing files. Key columns cannot be
+        dropped."""
+        snap = self.snapshot()
+        keys = set(snap["key_columns"])
+        dropped = [c for c in cols
+                   if c not in keys and any(n == c for n, _ in snap["schema"])]
+        if not dropped:
+            return
+        snap["version"] += 1
+        snap["schema"] = [e for e in snap["schema"] if e[0] not in dropped]
+        aliases = {k: v for k, v in snap.get("aliases", {}).items()
+                   if k not in dropped}
+        snap["aliases"] = aliases
+        snap["lineage"] = snap["lineage"] + [
+            {"event": "drop_columns", "columns": dropped, "lsn": lsn}
+        ]
+        self._commit(snap)
+
+    def promote_column(self, name: str, new_type: str,
+                       lsn: int | None = None) -> None:
+        """Widening type promotion (int→bigint, float→double, …): metadata
+        only — the parquet reader up-casts old files at scan time."""
+        snap = self.snapshot()
+        if not any(e[0] == name for e in snap["schema"]):
+            return
+        snap["version"] += 1
+        snap["schema"] = [
+            [n, new_type if n == name else ty] for n, ty in snap["schema"]
+        ]
+        snap["lineage"] = snap["lineage"] + [
+            {"event": "promote_column", "column": name, "type": new_type,
+             "lsn": lsn}
+        ]
+        self._commit(snap)
+
+    def log_event(self, event: dict) -> None:
+        """Append an informational lineage event (e.g. an unsupported
+        schema-evolution notice) as its own snapshot commit."""
+        snap = self.snapshot()
+        snap["version"] += 1
+        snap["lineage"] = snap["lineage"] + [event]
+        self._commit(snap)
+
     # ------------------------------------------------------------------ read
 
     def _spark_schema_ddl(self, snap: dict) -> str:
@@ -147,8 +217,35 @@ class LakeTable:
         ddl = self._spark_schema_ddl(snap)
         if not files:
             return spark.createDataFrame([], ddl)
+        aliases = snap.get("aliases", {})
+        typemap = {n: ty for n, ty in snap["schema"]}
+        cur_names = set(typemap)
+        # rename aliases: also request each pre-rename column name (typed
+        # like its current column) so old files keep serving data, then
+        # coalesce alias → current name
+        extra = [
+            (a, typemap[new])
+            for new, olds in aliases.items() if new in typemap
+            for a in olds if a not in cur_names
+        ]
+        full_ddl = ", ".join(
+            f"`{n}` {ty}" for n, ty in [*snap["schema"], *extra]
+        )
         # explicit schema → files missing late-added columns read as null
-        return spark.read.schema(ddl).parquet(*files)
+        df = spark.read.schema(full_ddl).parquet(*files)
+        if extra:
+            sel_cols = []
+            for n, _ty in snap["schema"]:
+                olds = [a for a in aliases.get(n, []) if a not in cur_names]
+                if olds:
+                    sel_cols.append(
+                        F.coalesce(F.col(n), *[F.col(a) for a in olds])
+                        .alias(n)
+                    )
+                else:
+                    sel_cols.append(F.col(n))
+            df = df.select(*sel_cols)
+        return df
 
     # ----------------------------------------------------------------- write
 
@@ -317,6 +414,7 @@ class LakeTable:
             "schema": snap["schema"],
             "key_columns": key_cols,
             "n_buckets": n_buckets,
+            "aliases": snap.get("aliases", {}),
             "files": files,
             "properties": {
                 **snap["properties"],

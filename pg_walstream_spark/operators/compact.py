@@ -26,28 +26,42 @@ ORD = ("commit_lsn", "seq")  # total order: commit order, then WAL order
 
 
 def dml_images(events: DataFrame, key_columns: list[str],
-               data_columns: list[tuple[str, str]]) -> DataFrame:
+               data_columns: list[tuple[str, str]],
+               aliases: dict[str, list[str]] | None = None) -> DataFrame:
     """Project committed DML events of ONE table to flat key/value images.
 
     ``data_columns``: (name, spark-type) for all non-key columns.
+    ``aliases``: current column name → pre-rename names (the lake table's
+    rename history): events decoded before a mid-stream RENAME carry the
+    old name in their tuple maps, so extraction coalesces across the
+    alias chain.
     Output: ord cols, _op, key cols, value cols, per-column _t_<c> toast flag.
     """
+    aliases = aliases or {}
+
+    def _ma(map_col: str, name: str):
+        alts = [name] + list(aliases.get(name, []))
+        if len(alts) == 1:
+            return F.element_at(map_col, name)
+        return F.coalesce(*[F.element_at(map_col, a) for a in alts])
+
     is_del = F.col("event_type") == "delete"
     key_exprs = [
-        F.when(is_del, F.element_at("old_data", k))
-        .otherwise(F.element_at("new_data", k))
+        F.when(is_del, _ma("old_data", k)).otherwise(_ma("new_data", k))
         .alias(k)
         for k in key_columns
     ]
     val_exprs = []
     for c, ty in data_columns:
-        val_exprs.append(F.element_at("new_data", c).cast(ty).alias(c))
-        val_exprs.append(
-            F.coalesce(
-                F.array_contains(F.coalesce("new_toast", F.array()), c),
+        val_exprs.append(_ma("new_data", c).cast(ty).alias(c))
+        toast_any = None
+        for a in [c] + list(aliases.get(c, [])):
+            t_ = F.coalesce(
+                F.array_contains(F.coalesce("new_toast", F.array()), a),
                 F.lit(False),
-            ).alias(f"_t_{c}")
-        )
+            )
+            toast_any = t_ if toast_any is None else (toast_any | t_)
+        val_exprs.append(toast_any.alias(f"_t_{c}"))
     base = events.select(
         F.col("commit_lsn"),
         F.col("seq"),
@@ -64,15 +78,15 @@ def dml_images(events: DataFrame, key_columns: list[str],
     changed = upd
     cond = None
     for k in key_columns:
-        neq = F.element_at("old_data", k) != F.element_at("new_data", k)
+        neq = _ma("old_data", k) != _ma("new_data", k)
         cond = neq if cond is None else (cond | neq)
     if cond is not None:
-        changed = upd.filter(cond & F.element_at("old_data", key_columns[0]).isNotNull())
+        changed = upd.filter(cond & _ma("old_data", key_columns[0]).isNotNull())
         extra = changed.select(
             F.col("commit_lsn"),
             F.col("seq"),
             F.lit("delete").alias("_op"),
-            *[F.element_at("old_data", k).alias(k) for k in key_columns],
+            *[_ma("old_data", k).alias(k) for k in key_columns],
             *[e for c, ty in data_columns for e in (
                 F.lit(None).cast(ty).alias(c), F.lit(False).alias(f"_t_{c}")
             )],
@@ -167,10 +181,12 @@ def compact_salted(images: DataFrame, key_columns: list[str],
 
 def compact_changes(events: DataFrame, key_columns: list[str],
                     data_columns: list[tuple[str, str]],
-                    n_salt: int = 0) -> DataFrame:
+                    n_salt: int = 0,
+                    aliases: dict[str, list[str]] | None = None) -> DataFrame:
     """events (one table, committed DML only) → MERGE-ready change set.
-    ``n_salt > 0`` selects the explicit two-level salted reduce."""
-    images = dml_images(events, key_columns, data_columns)
+    ``n_salt > 0`` selects the explicit two-level salted reduce;
+    ``aliases`` maps renamed columns to their pre-rename names."""
+    images = dml_images(events, key_columns, data_columns, aliases=aliases)
     if n_salt > 0:
         return compact_salted(images, key_columns, data_columns, n_salt)
     return compact_last_image(images, key_columns, data_columns)

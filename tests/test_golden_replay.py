@@ -128,6 +128,22 @@ def test_e2e_streaming_subtxn_abort(spark, tmp_path, batch_frames):
     assert lake.read(spark).count() == 30 + 7  # base + committed inserts
 
 
+def test_e2e_rename_column(spark, tmp_path):
+    """Mid-stream column rename applies as a read-alias rename: schema
+    shows the new name, pre-rename rows (bootstrap parquet written under
+    the old name) keep serving their values, post-rename DML binds to the
+    new name, and the final state matches golden."""
+    base, b = wg.gen_rename_column(n_base=25)
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    lake = eng.table("repos")
+    cols = [n for n, _ in lake.snapshot()["schema"]]
+    assert "language" in cols and "lang" not in cols
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    vals = [r["language"] for r in lake.read(spark).collect()]
+    assert vals and all(v is not None for v in vals)
+
+
 def test_e2e_schema_evolution(spark, tmp_path):
     base, b = wg.gen_schema_evo(n_base=30)
     frames = b.to_table()
@@ -253,3 +269,39 @@ def test_e2e_restart_resume_mid_replay(spark, tmp_path):
     eng2.replay_frames(frames_dir, batch_frames=30)
     assert_matches_golden(spark, eng2, bases, frames, "repos")
     assert_matches_golden(spark, eng2, bases, frames, "repos_full")
+
+
+def test_schema_unsupported_type_change_logged(spark, tmp_path):
+    """A non-widening type change (text → int) must be recorded as a loud
+    schema_evolution_unsupported lineage event, never silently mis-mapped."""
+    eng = ReplayEngine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a", "b", "x")],
+                               "repo string, path string, commit string")
+    eng.bootstrap_table("repos", df, ["repo", "path"], 2)
+    old = (0, "public", "repos", "d",
+           ("repo", "path", "commit"), (1, 1, 0), (25, 25, 25))
+    new = (5, "public", "repos", "d",
+           ("repo", "path", "commit"), (1, 1, 0), (25, 25, 23))
+    eng._apply_schema_change({"old": old, "new": new, "lsn": 123})
+    events = [r.get("event") for r in eng.table("repos").snapshot()["lineage"]]
+    assert "schema_evolution_unsupported" in events
+
+
+def test_schema_promotion_and_drop(spark, tmp_path):
+    """Widening promotion (int → bigint) and DROP COLUMN apply as
+    metadata-only changes; old files up-cast / stop serving at read time."""
+    eng = ReplayEngine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a", "b", 7, "gone")],
+                               "repo string, path string, stars int, junk string")
+    eng.bootstrap_table("repos", df, ["repo", "path"], 2)
+    old = (0, "public", "repos", "d",
+           ("repo", "path", "stars", "junk"), (1, 1, 0, 0), (25, 25, 23, 25))
+    new = (5, "public", "repos", "d",
+           ("repo", "path", "stars"), (1, 1, 0), (25, 25, 20))
+    eng._apply_schema_change({"old": old, "new": new, "lsn": 99})
+    t = eng.table("repos")
+    schema = dict(tuple(e) for e in t.snapshot()["schema"])
+    assert schema["stars"] == "bigint"
+    assert "junk" not in schema
+    row = t.read(spark).collect()[0]
+    assert row["stars"] == 7 and "junk" not in row.asDict()

@@ -384,11 +384,26 @@ class ReplayEngine:
             else (int(hi_commit) if hi_commit is not None else None)
         )
         _mark("plan_tables")
-        for tname in sorted(set(tables) | set(truncates)):
-            rec = self._merge_table(
-                tname, committed, truncates.get(tname), batch_idx, fence_floor,
-                ctx, batch_hi, n_committed=n_committed,
+        merge_list = sorted(set(tables) | set(truncates))
+
+        def _one(tname):
+            return self._merge_table(
+                tname, committed, truncates.get(tname), batch_idx,
+                fence_floor, ctx, batch_hi, n_committed=n_committed,
             )
+
+        if len(merge_list) > 1:
+            # per-table merges are independent (distinct table dirs,
+            # distinct snapshot logs) — run them as concurrent driver
+            # threads so their Spark jobs interleave instead of serializing
+            # one table's write behind another's
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(merge_list), 8)) as pool:
+                recs = list(pool.map(_one, merge_list))
+        else:
+            recs = [_one(t) for t in merge_list]
+        for rec in recs:
             if rec:
                 merged.append(rec)
                 batch_applied = max(batch_applied, rec["applied_lsn"])

@@ -282,13 +282,15 @@ def gen_truncate(n_base: int = 120, seed: int = 42):
     return base, b
 
 
-def gen_streaming_subabort(n_base: int = 60, seed: int = 42):
+def gen_streaming_subabort(n_base: int = 60, seed: int = 42,
+                           protocol_version: int = 2):
     """Streamed txn X with subtransaction Y aborted mid-stream
     (stream_abort with subxid != xid — the case round 1 got wrong in both
     the kernel and the golden applier, in opposite directions): X's rows,
-    including rows streamed AFTER the sub-abort, commit; Y's must vanish."""
+    including rows streamed AFTER the sub-abort, commit; Y's must vanish.
+    At protocol_version >= 4 the stream_abort carries abort_lsn/abort_ts."""
     base = gen_repos_base(n_base, seed)
-    b = WalBuilder(seed)
+    b = WalBuilder(seed, protocol_version=protocol_version)
     pl = _OpPlanner(base, seed)
     b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
     xid_top = b.alloc_xid()
@@ -302,7 +304,11 @@ def gen_streaming_subabort(n_base: int = 60, seed: int = 42):
                "commit": "1" * 40, "lang": "python", "content": "sub-aborted"}
         b.emit(e.encode_insert(REPOS_OID, row_tuple(row), xid=xid_sub))
     b.emit(e.encode_stream_stop())
-    b.emit(e.encode_stream_abort(xid_top, xid_sub))
+    if protocol_version >= 4:
+        b.emit(e.encode_stream_abort(xid_top, xid_sub,
+                                     abort_lsn=b.lsn, abort_ts=b.seq * 1_000))
+    else:
+        b.emit(e.encode_stream_abort(xid_top, xid_sub))
     b.emit(e.encode_stream_start(xid_top, False))
     for _ in range(3):
         b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),

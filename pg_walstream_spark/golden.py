@@ -255,12 +255,14 @@ class GoldenApplier:
 
 
 def golden_final_state(base, frames: pa.Table, table: str = "repos",
-                       stop_at_lsn: int | None = None) -> tuple[list[dict], int]:
+                       stop_at_lsn: int | None = None,
+                       protocol_version: int = 2) -> tuple[list[dict], int]:
     """Convenience: replay frames over base, return (sorted rows, applied_lsn).
     ``base``: a pa.Table seeding ``table``, or a dict {table: pa.Table} for
     fixtures that split the base across relations."""
     if isinstance(base, pa.Table):
         base = {table: base}
-    g = GoldenApplier({t: tbl.to_pylist() for t, tbl in base.items()})
+    g = GoldenApplier({t: tbl.to_pylist() for t, tbl in base.items()},
+                      protocol_version=protocol_version)
     g.apply_frames(frames, stop_at_lsn=stop_at_lsn)
     return g.final_rows(table), g.applied_lsn

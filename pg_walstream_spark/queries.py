@@ -985,10 +985,25 @@ def wal_replay_final_state(spark, sf_dir):
     eng.bootstrap_table("repos", spark.read.parquet(f"{wd}/base.parquet"),
                         ["repo", "path"], n_buckets=8)
     eng.replay_frames(f"{wd}/frames")
-    return eng.table("repos").read(spark).select(
+    out = eng.table("repos").read(spark).select(
         "repo", "path", "commit", "lang",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
+    # stable whole-state digest: sha256 over the sorted per-row digests.
+    # The fixture is seeded, so this value is a constant across runs —
+    # pinned in tests/test_queries_oracle.py::test_wal_replay_fingerprint —
+    # giving this non-SQL-expressible engine query a stronger-than-rows-only
+    # self check.
+    digest = F.sha2(
+        F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256"),
+        256,
+    )
+    fp = out.agg(
+        F.sha2(
+            F.concat_ws("|", F.sort_array(F.collect_list(digest))), 256
+        ).alias("table_fingerprint")
+    )
+    return out.crossJoin(F.broadcast(fp))
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,34 @@ def test_schema_promotion_and_drop(spark, tmp_path):
     assert "junk" not in schema
     row = t.read(spark).collect()[0]
     assert row["stars"] == 7 and "junk" not in row.asDict()
+
+
+@pytest.mark.parametrize("proto", [1, 2, 4])
+def test_e2e_protocol_versions(spark, tmp_path, proto):
+    """Engine vs golden at protocol v1 (no streaming, no xid prefixes), v2,
+    and v4 (stream_abort carries abort_lsn/abort_ts) — the reference
+    property-tests all message variants across versions 1-4; this is the
+    end-to-end analog."""
+    if proto == 1:
+        base, b = wg.gen_basic(n_base=40, n_txns=6, ops_per_txn=4)
+        b.protocol_version = 1
+    else:
+        base, b = wg.gen_streaming_subabort(n_base=30, protocol_version=proto)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir)
+    eng = ReplayEngine(spark, os.path.join(str(tmp_path), "wh"),
+                       protocol_version=proto)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    eng.replay_frames(frames_dir, batch_frames=11)
+    golden_rows, glsn = golden_final_state(
+        {"repos": base}, frames, "repos", protocol_version=proto)
+    lake = eng.table("repos")
+    got = [r.asDict() for r in lake.read(spark).collect()]
+    cols = [n for n, _ in lake.snapshot()["schema"]]
+    assert norm(got, cols) == norm(golden_rows, cols), (
+        f"proto {proto}: {len(got)} lake vs {len(golden_rows)} golden"
+    )
+    assert lake.applied_lsn() == glsn

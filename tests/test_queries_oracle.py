@@ -86,3 +86,16 @@ def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_wal_replay_fingerprint(spark):
+    """The flagship engine replay query carries a whole-state digest
+    (sha256 over sorted per-row digests). The fixture is seeded, so the
+    value is a constant — any engine semantics drift (lost rows, wrong
+    last image, broken TOAST carry) changes it."""
+    df = entry_mod.queries()["wal_replay_final_state"](spark, SF_DIR)
+    fps = [r[0] for r in df.select("table_fingerprint").distinct().collect()]
+    assert fps == [
+        "c8d749270b25741e0804b42c1083b28dfbd6464622e8c2198bd1f144a5ceafc9"
+    ]
+    assert df.count() == 160

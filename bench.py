@@ -28,7 +28,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: this box's throughput peaks around 8-16 vCPUs
+# (shared memory bandwidth; see BENCH.md) — local[32] only adds scheduler
+# and SMT contention to the analytics suite
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 # Scaling pair for the north rule (N vs 4N). Default N=1: this single box
 # saturates its shared memory bandwidth well before 8-16 vCPUs (decode curve
 # in BENCH.md), so the faithful per-node two-cluster-size analog is the pair
@@ -218,9 +221,13 @@ def main():
     t_small = min(t_small, t_small2)
     t_big = min(t_big, t_big2)
     # reference-comparison point: the Rust baseline ran on an 8-vCPU host
+    # (best-of-2 like the scaling pair — single shots swing ±30% here)
     if N_BIG != 8:
         t_eight, _, _ = run_replay(8, frames, base_p, n_events,
                                    with_decode=False)
+        t_eight2, _, _ = run_replay(8, frames, base_p, n_events,
+                                    with_decode=False)
+        t_eight = min(t_eight, t_eight2)
     else:
         t_eight = t_big
     thr_small = n_events / t_small

@@ -178,20 +178,23 @@ def simhash_pieces(docs: DataFrame, n_pieces: int = 4, piece_bits: int = 16,
     (a) bit 63 of a packed value would overflow a signed long, and (b) the
     pieces ARE the hamming-banding keys (see simhash_hamming_pairs), so
     storing them pre-split skips re-extraction at query time."""
+    bits = n_pieces * piece_bits
+    n_digits = (bits + 3) // 4
+    # extract each hex digit ONCE in a projection (16 string ops per token)
+    # instead of re-running substring+conv inside all 64 bit aggregates
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
-    ).withColumn("h", F.md5("t"))
-    bits = n_pieces * piece_bits
+    ).withColumn("h", F.md5("t")).select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int")
+            .alias(f"d{d}")
+            for d in range(n_digits)
+        ],
+    )
     bit_sums = []
     for j in range(bits):
-        hex_pos = j // 4 + 1
-        shift = j % 4
-        bit = (
-            F.shiftright(
-                F.conv(F.substring("h", hex_pos, 1), 16, 10).cast("int"),
-                shift,
-            ).bitwiseAND(F.lit(1))
-        )
+        bit = F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     sums = tok.groupBy(id_col).agg(*bit_sums)
     pieces = []

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-frames", type=int, default=1_000_000)
     p.add_argument("--stop-at-lsn", type=int, default=None)
     p.add_argument("--protocol-version", type=int, default=2)
+    p.add_argument("--origin", choices=["none", "any"], default="any",
+                   help="drop foreign-origin transactions ('none') or "
+                        "apply them ('any')")
+    p.add_argument("--no-messages", action="store_true",
+                   help="drop MESSAGE events (messages 'off')")
 
     p = sub.add_parser("stream", help="live tail via Structured Streaming")
     p.add_argument("--warehouse", required=True)
@@ -84,8 +89,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("walstream-replay", args.master)
         from .engine import ReplayEngine
 
-        eng = ReplayEngine(spark, args.warehouse,
-                           protocol_version=args.protocol_version)
+        from .options import ReplicationOptions
+
+        eng = ReplayEngine(spark, args.warehouse, options=ReplicationOptions(
+            protocol_version=args.protocol_version,
+            origin=args.origin, messages=not args.no_messages,
+        ))
         out = eng.replay_frames(args.frames, batch_frames=args.batch_frames,
                                 stop_at_lsn=args.stop_at_lsn)
         print(json.dumps({"batches": out["batches"],

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .lake.table import LakeTable, _atomic_write
 from .operators.compact import compact_changes
+from .options import ReplicationOptions
 from .operators.decode import (
     CONTROL_TAGS,
     EVENT_SPARK_DDL,
@@ -60,10 +61,16 @@ APPLY_TYPES = DML_TYPES + ("truncate",)
 
 class ReplayEngine:
     def __init__(self, spark: SparkSession, warehouse: str,
-                 protocol_version: int = 2):
+                 protocol_version: int = 2,
+                 options: ReplicationOptions | None = None):
         self.spark = spark
         self.warehouse = warehouse
-        self.protocol_version = protocol_version
+        # the START_REPLICATION option set selects decoder/engine behavior
+        # here (see options.py); protocol_version kwarg kept as shorthand
+        self.options = (
+            options or ReplicationOptions(protocol_version=protocol_version)
+        ).validate()
+        self.protocol_version = self.options.protocol_version
         # bigger Arrow batches amortize python-worker IPC in the decode kernel
         if spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
                           None) in (None, "10000"):
@@ -276,6 +283,15 @@ class ReplayEngine:
                     | ~F.col("sub_xid").isin(aborted_subs)
                 )
             events = events.unionByName(pending)
+
+        # option-driven event shaping (the replay analog of the reference's
+        # START_REPLICATION options, src/stream.rs:1377-1446)
+        if not self.options.messages:
+            events = events.filter(F.col("event_type") != "message")
+        if self.options.origin == "none" and getattr(ctx, "has_origin", False):
+            from .operators.raw import filter_origin
+
+            events = filter_origin(events, "none")
 
         # Materialize the decoded batch once (localCheckpoint: raw row
         # blocks store and rescan ~2x cheaper than the columnar DF cache for

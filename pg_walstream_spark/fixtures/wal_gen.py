@@ -343,6 +343,28 @@ def gen_schema_evo(n_base: int = 100, seed: int = 42):
     return base, b
 
 
+def gen_origin(n_base: int = 30, seed: int = 42):
+    """One local transaction and one foreign-origin transaction (ORIGIN
+    message after its BEGIN): with the origin 'none' replication option the
+    foreign txn's rows must not apply; with 'any' they do."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.begin()
+    for _ in range(4):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.commit()
+    b.begin()
+    b.emit(e.encode_origin(b.lsn, "upstream_node_7"))
+    for j in range(3):
+        row = {"repo": "orgF/foreign", "path": f"f{j}.py",
+               "commit": "2" * 40, "lang": "python", "content": "foreign"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row)))
+    b.commit()
+    return base, b
+
+
 def gen_rename_column(n_base: int = 30, seed: int = 42):
     """Mid-stream positional column rename (lang → language) between two
     committed transactions: the engine must apply it as a read-alias

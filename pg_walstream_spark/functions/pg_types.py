@@ -53,10 +53,52 @@ def pg_text_to_bool(col) -> Column:
     )
 
 
+_INT_RANGES = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "bigint": None,
+    "long": None,
+}
+
+
+def pg_int(col, ty: str = "int") -> Column:
+    """Range-checked integer parse matching the reference's fast int paths
+    (src/deserializer.rs:345-371 parse_signed/parse_unsigned): the token
+    must be a pure optionally-signed digit string AND fit the target width
+    — "1.5", "1e3" and out-of-range values yield null (the lenient surface
+    turns that into default + FieldError), independent of the session's
+    ANSI mode. Spark's plain cast would truncate "1.5" to 1 and its ANSI
+    behavior varies by session config; this pins the reference semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.when(c.rlike(r"^[+-]?[0-9]+$"), c.try_cast("bigint"))
+    rng = _INT_RANGES.get(ty)
+    if rng is not None:
+        v = F.when(v.between(rng[0], rng[1]), v)
+    return v.cast("bigint" if rng is None else ty)
+
+
+def pg_char(col) -> Column:
+    """The reference's char deserializer (src/deserializer.rs:445-456):
+    exactly one character, else null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) == 1, c)
+
+
+def pg_enum(col, variants: list[str]) -> Column:
+    """Enum-from-string (src/deserializer.rs:540-565 visit_enum analog):
+    the text must be one of the declared variants, else null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(*variants), c)
+
+
 def _cast_one(col: Column, ty: str, lenient: bool) -> Column:
     if ty == "boolean":
         return pg_text_to_bool(col)
     if lenient:
+        if ty in _INT_RANGES:
+            return pg_int(col, ty)
         return col.try_cast(ty)
     return col.cast(ty)
 

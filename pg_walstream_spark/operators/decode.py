@@ -123,6 +123,7 @@ class DecodeContext:
         self.xid_ts = np.empty(0, np.int64)
         self.schema_changes: list[dict] = []
         self.protocol_version = 2
+        self.has_origin = False
 
     # -- lookups (all vectorized) ------------------------------------------
 
@@ -296,6 +297,8 @@ def build_context(
             )
         elif et == "stream_prepare":
             dispo.setdefault(m["xid"], (ST_PREPARED, 0, 0, 0))
+        elif et == "origin":
+            ctx.has_origin = True
         elif et == "stream_abort":
             # subxid == xid → the whole streamed transaction aborts;
             # subxid != xid → ONLY the subtransaction's span of changes is

@@ -336,3 +336,44 @@ def test_e2e_protocol_versions(spark, tmp_path, proto):
         f"proto {proto}: {len(got)} lake vs {len(golden_rows)} golden"
     )
     assert lake.applied_lsn() == glsn
+
+
+@pytest.mark.parametrize("origin_mode,expect_foreign", [("none", 0), ("any", 3)])
+def test_e2e_origin_option(spark, tmp_path, origin_mode, expect_foreign):
+    """The replication option set drives engine behavior (the replay analog
+    of START_REPLICATION options): origin 'none' drops foreign-origin
+    transactions, 'any' applies them."""
+    from pg_walstream_spark.options import ReplicationOptions
+
+    base, b = wg.gen_origin(n_base=20)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir)
+    eng = ReplayEngine(
+        spark, os.path.join(str(tmp_path), "wh"),
+        options=ReplicationOptions(origin=origin_mode),
+    )
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    eng.replay_frames(frames_dir)
+    lake = eng.table("repos")
+    assert lake.read(spark).filter("repo = 'orgF/foreign'").count() == \
+        expect_foreign
+    assert lake.read(spark).count() == 20 + 4 + expect_foreign
+
+
+def test_replication_options_validation():
+    from pg_walstream_spark.options import ReplicationOptions
+    import pytest as _pytest
+
+    assert "streaming 'on'" in ReplicationOptions(
+        streaming="on", binary=True).to_option_string()
+    with _pytest.raises(ValueError):
+        ReplicationOptions(streaming="on", protocol_version=1).validate()
+    with _pytest.raises(ValueError):
+        ReplicationOptions(two_phase=True, protocol_version=2).validate()
+    with _pytest.raises(ValueError):
+        ReplicationOptions(streaming="parallel", protocol_version=2).validate()
+    with _pytest.raises(ValueError):
+        ReplicationOptions(origin="sometimes").validate()

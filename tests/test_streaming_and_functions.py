@@ -111,3 +111,37 @@ def test_lsn_roundtrip_property(spark):
         ).alias("mn"),
     ).collect()[0]
     assert r["mn"] == 1 and r["mx"] == 1
+
+
+def test_pg_int_reference_semantics(spark):
+    """Reference fast-path int parse (deserializer.rs:345-371): pure digit
+    tokens only, width-checked — '1.5' and overflow yield null regardless
+    of the session's ANSI mode (plain cast would truncate or throw)."""
+    from pg_walstream_spark.functions import pg_int
+
+    vals = ["42", "-7", "+9", "1.5", "1e3", "oops", "32768", "-32769",
+            "2147483648", "9223372036854775807", None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got16 = [r[0] for r in df.select(pg_int("v", "smallint")).collect()]
+    assert got16 == [42, -7, 9, None, None, None, None, None, None, None,
+                     None]
+    got32 = [r[0] for r in df.select(pg_int("v", "int")).collect()]
+    assert got32 == [42, -7, 9, None, None, None, 32768, -32769, None, None,
+                     None]
+    got64 = [r[0] for r in df.select(pg_int("v", "bigint")).collect()]
+    assert got64 == [42, -7, 9, None, None, None, 32768, -32769, 2147483648,
+                     9223372036854775807, None]
+
+
+def test_pg_char_and_enum(spark):
+    from pg_walstream_spark.functions import pg_char, pg_enum
+
+    df = spark.createDataFrame(
+        [("a",), ("ab",), ("",), (None,)], "v string")
+    assert [r[0] for r in df.select(pg_char("v")).collect()] == \
+        ["a", None, None, None]
+    df2 = spark.createDataFrame(
+        [("red",), ("blue",), ("mauve",), (None,)], "v string")
+    assert [r[0] for r in df2.select(
+        pg_enum("v", ["red", "green", "blue"])).collect()] == \
+        ["red", "blue", None, None]

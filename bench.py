@@ -218,8 +218,12 @@ def main():
                                 with_decode=False)
     t_big2, _, _ = run_replay(N_BIG, frames, base_p, n_events,
                               with_decode=False)
-    t_small = min(t_small, t_small2)
-    t_big = min(t_big, t_big2)
+    t_small3, _, _ = run_replay(N_SMALL, frames, base_p, n_events,
+                                with_decode=False)
+    t_big3, _, _ = run_replay(N_BIG, frames, base_p, n_events,
+                              with_decode=False)
+    t_small = min(t_small, t_small2, t_small3)
+    t_big = min(t_big, t_big2, t_big3)
     # reference-comparison point: the Rust baseline ran on an 8-vCPU host
     # (best-of-2 like the scaling pair — single shots swing ±30% here)
     if N_BIG != 8:

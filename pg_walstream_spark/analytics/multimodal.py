@@ -129,11 +129,16 @@ def byte_histogram_counts(df: DataFrame, n_bins: int = 16) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     """'Frame sampling' stand-in: take every Nth byte of the payload as a
-    sample array (JVM-side slicing via transform/sequence — no Python)."""
+    sample array (JVM-side slicing via transform/sequence — no Python).
+    Payloads shorter than the stride yield an EMPTY array — Spark's
+    sequence(1, 0) counts DOWN ([1, 0]), so the guard must short-circuit
+    instead of clamping the upper bound."""
+    n_frames = f"(meta.n_bytes div {every_n_bytes})"
     return df.select(
         "media_id",
         F.expr(
-            f"transform(sequence(1, greatest(int(meta.n_bytes / {every_n_bytes}), 0)),"
-            f" i -> substring(payload, (i - 1) * {every_n_bytes} + 1, 1))"
+            f"CASE WHEN {n_frames} >= 1 THEN transform(sequence(1, {n_frames}),"
+            f" i -> substring(payload, (i - 1) * {every_n_bytes} + 1, 1)) "
+            f"ELSE cast(array() as array<binary>) END"
         ).alias("sampled_bytes"),
     )

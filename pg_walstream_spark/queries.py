@@ -945,6 +945,13 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+MULTIMODAL_FRAME_SQL = """
+SELECT doc_id AS media_id,
+       CAST(length(text) // 256 AS INT) AS n_samples
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC engine stages (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1043,7 +1050,9 @@ QUERIES = {
     "multimodal_byte_features_flat": (
         multimodal_byte_features_flat, MULTIMODAL_FLAT_SQL,
     ),
-    "multimodal_frame_sample": (multimodal_frame_sample, None),
+    "multimodal_frame_sample": (
+        multimodal_frame_sample, MULTIMODAL_FRAME_SQL,
+    ),
     "wal_decode_counts": (wal_decode_counts, None),
     "wal_replay_final_state": (wal_replay_final_state, None),
 }

@@ -99,3 +99,19 @@ def test_wal_replay_fingerprint(spark):
         "c8d749270b25741e0804b42c1083b28dfbd6464622e8c2198bd1f144a5ceafc9"
     ]
     assert df.count() == 160
+
+
+def test_wal_decode_counts_pinned(spark):
+    """The decode-stage driver query runs over a seeded in-memory fixture;
+    its counts are constants — pinned so the rows-only driver check is
+    backed by a real value assertion here."""
+    rows = sorted(
+        tuple(r)
+        for r in entry_mod.queries()["wal_decode_counts"](spark, SF_DIR)
+        .collect()
+    )
+    assert rows == [
+        ("begin", None, 12), ("commit", "committed", 12),
+        ("delete", "committed", 30), ("insert", "committed", 24),
+        ("relation", None, 2), ("update", "committed", 42),
+    ]

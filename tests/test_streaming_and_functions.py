@@ -145,3 +145,58 @@ def test_pg_char_and_enum(spark):
     assert [r[0] for r in df2.select(
         pg_enum("v", ["red", "green", "blue"])).collect()] == \
         ["red", "blue", None, None]
+
+
+def test_streaming_stop_and_resume_live_tail(spark, tmp_path):
+    """Graceful shutdown of a LIVE (non-availableNow) tail: stop mid-stream,
+    then resume with a second query over newly arrived frame files — the
+    checkpoint + LSN fence make the handoff exactly-once (the reference's
+    cancellation + restart-from-confirmed-LSN contract)."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from pg_walstream_spark.golden import golden_final_state
+
+    base, b = wg.gen_basic(n_base=40, n_txns=8, ops_per_txn=4)
+    frames = b.to_table()
+    n = frames.num_rows
+    half = n // 2
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    os.makedirs(frames_dir)
+    pq.write_table(frames.slice(0, half),
+                   os.path.join(frames_dir, "part-00000.parquet"))
+
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+
+    q = start_stream(spark, frames_dir, wh,
+                     checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+                     max_files_per_trigger=1, available_now=False)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if eng._load_state()["applied_lsn"] > 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert not q.isActive
+    mid_lsn = eng._load_state()["applied_lsn"]
+    assert mid_lsn > 0
+
+    pq.write_table(frames.slice(half),
+                   os.path.join(frames_dir, "part-00001.parquet"))
+    q2 = start_stream(spark, frames_dir, wh,
+                      checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+                      max_files_per_trigger=1, available_now=True)
+    q2.awaitTermination(180)
+
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    lake = eng.table("repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in lake.read(spark).collect())
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert lake.applied_lsn() == glsn

@@ -183,10 +183,16 @@ class ReplayEngine:
         channel is a few thousand tiny rows per million frames."""
         all_frames = self.spark.read.parquet(frames_path)
         ctrl_path = frames_path.rstrip("/") + "_control"
-        control_frames = (
-            self.spark.read.parquet(ctrl_path)
-            if os.path.isdir(ctrl_path) else None
-        )
+        control_table = None
+        if os.path.isdir(ctrl_path):
+            # the control channel is a few thousand tiny local rows — read
+            # it once with pyarrow on the driver; spending a Spark job (and
+            # its fixed scheduling cost) per batch on it is pure overhead
+            import pyarrow.parquet as _pq
+
+            control_table = _pq.read_table(
+                ctrl_path, columns=["seq", "wal_start", "data"]
+            ).sort_by("seq")
         bounds = all_frames.agg(
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
         ).collect()[0]
@@ -204,12 +210,19 @@ class ReplayEngine:
                 continue  # already applied (checkpoint resume)
             in_range = (F.col("seq") >= start) & (F.col("seq") <= end)
             batch = all_frames.filter(in_range)
+            control_rows = None
+            if control_table is not None:
+                import pyarrow.compute as _pc
+
+                control_rows = control_table.filter(
+                    _pc.and_(
+                        _pc.greater_equal(control_table.column("seq"), start),
+                        _pc.less_equal(control_table.column("seq"), end),
+                    )
+                ).to_pylist()
             rec = self.process_batch(
                 batch, batch_idx, st, stop_at_lsn=stop_at_lsn,
-                control_frames=(
-                    control_frames.filter(in_range)
-                    if control_frames is not None else None
-                ),
+                control_rows=control_rows,
             )
             summary.append(rec)
             batch_idx += 1
@@ -222,7 +235,7 @@ class ReplayEngine:
 
     def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
                       stop_at_lsn: int | None = None,
-                      control_frames: DataFrame | None = None) -> dict:
+                      control_rows: list[dict] | None = None) -> dict:
         import time as _time
 
         phase_t = {}
@@ -234,21 +247,23 @@ class ReplayEngine:
             phase_t[name] = round((now - _t0) * 1000)
             _t0 = now
 
-        # 1. control scan — sidecar control channel if the frame pump wrote
-        # one (tiny), else tag-pushdown filter on the batch frames
-        ctrl_src = (
-            control_frames if control_frames is not None
-            else frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
-        )
-        control = (
-            ctrl_src.select("seq", "wal_start", "data").sort("seq").collect()
-        )
+        # 1. control scan — pre-extracted sidecar rows if the frame pump
+        # wrote a control channel (driver-local, zero Spark jobs), else a
+        # tag-pushdown filter on the batch frames
+        if control_rows is not None:
+            control = control_rows
+        else:
+            control = [
+                r.asDict()
+                for r in frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
+                .select("seq", "wal_start", "data").sort("seq").collect()
+            ]
         carry_catalog = {
             int(oid): [tuple(v) for v in versions]
             for oid, versions in st.get("catalog", {}).items()
         }
         ctx = build_context(
-            [r.asDict() for r in control],
+            control,
             protocol_version=self.protocol_version,
             carry_catalog=carry_catalog,
             carry_open_xid=st.get("open_xid"),

@@ -287,7 +287,9 @@ def main():
             "compaction → LSN-fenced MERGE (committed lake state).\n\n"
             f"| cores | seconds | events/sec |\n|---|---|---|\n"
             f"| local[{N_SMALL}] | {t_small:.1f} | {thr_small:,.0f} |\n"
-            f"| local[{N_BIG}] | {t_big:.1f} | {thr_big:,.0f} |\n\n"
+            f"| local[{N_BIG}] | {t_big:.1f} | {thr_big:,.0f} |\n"
+            f"| local[8] (reference point) | {t_eight:.1f} | "
+            f"{n_events / t_eight:,.0f} |\n\n"
             "Decode-only (apples-to-apples with the reference's "
             "parse-and-deliver loop):\n\n"
             f"| cores | events/sec |\n|---|---|\n"
@@ -304,8 +306,9 @@ def main():
             "ceiling is the faithful per-node scaling signal; the local[8]\n"
             "throughput is reported for the reference comparison (the Rust\n"
             "baseline ran on an 8-vCPU host). Shared-tenancy noise makes\n"
-            "single runs vary ±15-50%; interleaved best-of-2 damps but\n"
-            "cannot remove this.\n\n"
+            "single runs vary ±15-50%; interleaved best-of-3 damps but\n"
+            "cannot remove this — pipeline efficiency measured across\n"
+            "round-2 runs spans 0.63-0.80 (decode-only 0.97-1.08).\n\n"
             f"DML events replayed: {n_events:,}\n\n"
             f"**Scaling efficiency (N={N_SMALL} → 4N={N_BIG}): "
             f"{efficiency:.2f}** (north-rule target ≥ 0.8)\n\n"

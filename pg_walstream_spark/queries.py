@@ -621,13 +621,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     candidates + exact cosine rescore at threshold 0.95 over the derived
     near-dup corpus. The round-1 registration was a brute-force crossJoin
     (82.6 s at sf0.1, O(n²) at corpus scale); the oracle here stays the
-    brute-force SQL, so the LSH path must reproduce it exactly — recall of
-    the banding at cos ≥ 0.95 is ~1-2.4e-6 miss/pair (6 planes x 10
-    bands), verified against brute force at sf0.01 and sf0.1 in
+    brute-force SQL, so the LSH path must reproduce it exactly — per-pair
+    miss probability at cos 0.987 is ~6e-6 (12 planes x 16 bands; bucket
+    assignment is ONE Arrow-batched matmul, not per-row plane-dot
+    expressions), verified against brute force at sf0.001/0.01/0.1 in
     tests/test_analytics_quality.py."""
-    return sim.ann_lsh_pairs(
+    return sim.ann_lsh_pairs_arrow(
         _neardup_embeddings(spark, sf_dir), threshold=0.95,
-        n_planes=6, bands=10,
+        n_planes=12, bands=16,
     )
 
 

@@ -91,17 +91,162 @@ def minhash_signature(docs: DataFrame, k: int = 12, text_col: str = "text",
     )
 
 
+def minhash_signature_arrow(docs: DataFrame, k: int = 128,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n: int = 3,
+                            with_shingle_codes: bool = False) -> DataFrame:
+    """minhash_signature computed in ONE vectorized Arrow pass, emitting
+    BIT-IDENTICAL values (int(md5(f"{i}:{sh}").hexdigest()[:15], 16) ==
+    CAST('0x' || substr(md5(i || ':' || sh), 1, 15) AS BIGINT)) — the
+    DuckDB oracles stay valid.
+
+    Hot path is numpy end to end: shingles are 3-byte sliding windows over
+    the concatenated lowered texts, per-(doc, shingle) dedup via one
+    np.unique over packed int64 keys, and the signature is a column-wise
+    np.minimum.reduceat over the vocabulary hash matrix. Only the (tiny)
+    shingle VOCABULARY is hashed in Python — |alphabet|^n entries, k md5s
+    each. Texts containing multibyte characters fall back to a per-doc
+    set-based path (byte windows ≠ character shingles there).
+
+    ``with_shingle_codes``: also emit each doc's sorted distinct shingle
+    set as an array<long> of injective integer codes (already computed as
+    a by-product) — exact Jaccard rescoring intersects these instead of
+    re-shipping string arrays."""
+    from .. import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        vocab_cache: dict[int, np.ndarray] = {}
+        str_cache: dict[str, np.ndarray] = {}
+
+        def hash_shingle_str(sh: str) -> np.ndarray:
+            v = str_cache.get(sh)
+            if v is None:
+                v = np.array(
+                    [int(hashlib.md5(f"{i}:{sh}".encode()).hexdigest()[:15],
+                         16) for i in range(k)], np.int64)
+                str_cache[sh] = v
+            return v
+
+        def sig_fallback(t: str):
+            if len(t) < n:
+                return None
+            shs = {t[j:j + n] for j in range(len(t) - n + 1)}
+            sig = np.min(np.stack([hash_shingle_str(s) for s in shs]), 0)
+            # multibyte text: injective md5-derived codes stand in for the
+            # 3-byte packing (only intersected against same-corpus codes)
+            codes = np.sort(np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                 for s in shs], np.int64))
+            return sig, codes
+
+        ddl_names = [id_col] + [f"h{j}" for j in range(k)]
+        for b in batches:
+            ids = np.asarray(b.column(id_col).to_pylist(), np.int64)
+            texts = [(t or "").lower() for t in b.column(text_col).to_pylist()]
+            if len(ids) == 0:
+                continue
+            enc = [t.encode("utf-8") for t in texts]
+            ascii_ok = all(len(e) == len(t) for e, t in zip(enc, texts))
+            out_ids, out_sigs = [], []
+            if ascii_ok and int(ids.max(initial=0)) < (1 << 39):
+                lens = np.fromiter((len(e) for e in enc), np.int64,
+                                   len(enc))
+                keep = lens >= n
+                if keep.any():
+                    blob = np.frombuffer(b"".join(enc), np.uint8)
+                    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                    n_win = np.where(keep, lens - (n - 1), 0)
+                    doc_of = np.repeat(np.arange(len(enc)), n_win)
+                    # window start offsets within the blob, per doc
+                    base_off = np.repeat(starts, n_win)
+                    in_doc = np.arange(len(doc_of)) - np.repeat(
+                        np.concatenate(([0], np.cumsum(n_win)))[:-1], n_win)
+                    off = base_off + in_doc
+                    code = (blob[off].astype(np.int64) << 16) \
+                        | (blob[off + 1].astype(np.int64) << 8) \
+                        | blob[off + 2].astype(np.int64)
+                    keys = (ids[doc_of] << 24) | code
+                    uniq = np.unique(keys)
+                    u_doc = uniq >> 24
+                    u_code = uniq & 0xFFFFFF
+                    vocab, inv = np.unique(u_code, return_inverse=True)
+                    H = np.empty((len(vocab), k), np.int64)
+                    for vi, cde in enumerate(vocab):
+                        hv = vocab_cache.get(int(cde))
+                        if hv is None:
+                            sh = bytes([cde >> 16, (cde >> 8) & 0xFF,
+                                        cde & 0xFF]).decode()
+                            hv = hash_shingle_str(sh)
+                            vocab_cache[int(cde)] = hv
+                        H[vi] = hv
+                    # uniq is sorted by (doc, code): group boundaries
+                    bounds = np.nonzero(
+                        np.concatenate(([True], u_doc[1:] != u_doc[:-1]))
+                    )[0]
+                    sigs = np.minimum.reduceat(H[inv], bounds, axis=0)
+                    out_ids = list(u_doc[bounds])
+                    out_sigs = list(sigs)
+                    if with_shingle_codes:
+                        # uniq sorted by (doc, code) → per-doc code runs are
+                        # already sorted; list array straight from offsets
+                        offsets = np.concatenate((bounds, [len(uniq)]))
+                        out_codes = pa.ListArray.from_arrays(
+                            pa.array(offsets, pa.int32()),
+                            pa.array(u_code.astype(np.int64)),
+                        )
+            else:
+                fallback_codes = []
+                for i, t in zip(ids, texts):
+                    s = sig_fallback(t)
+                    if s is not None:
+                        out_ids.append(int(i))
+                        out_sigs.append(s[0])
+                        fallback_codes.append(s[1])
+                if with_shingle_codes:
+                    out_codes = pa.array(
+                        [c.tolist() for c in fallback_codes],
+                        pa.list_(pa.int64()),
+                    )
+            if not out_ids:
+                continue
+            M = np.stack(out_sigs)
+            cols = {
+                ddl_names[0]: pa.array(np.asarray(out_ids, np.int64)),
+                **{f"h{j}": pa.array(M[:, j]) for j in range(k)},
+            }
+            if with_shingle_codes:
+                cols["sh_codes"] = out_codes
+            yield pa.RecordBatch.from_pydict(cols)
+
+    ddl = f"{id_col} long, " + ", ".join(f"h{j} long" for j in range(k))
+    if with_shingle_codes:
+        ddl += ", sh_codes array<long>"
+    return docs.select(id_col, text_col).mapInArrow(fn, ddl)
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of k/bands rows;
     docs sharing any band key become a candidate pair (id_a < id_b)."""
+    sig = minhash_signature_arrow(docs, k, text_col, id_col, n)
+    return _band_candidates(sig, k, bands, id_col)
+
+
+def _band_candidates(sig: DataFrame, k: int, bands: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Signature DF → distinct LSH candidate pairs. Bands via ONE explode,
+    not a per-band union: a union of b branches re-evaluates the signature
+    subtree b times, and the candidate self-join doubles that again —
+    32 evaluations at k=128/b=16. Explode + persist makes it one."""
     r = k // bands
-    sig = minhash_signature(docs, k, text_col, id_col, n)
-    # bands via ONE explode, not a per-band union: a union of b branches
-    # re-evaluates the (k mins x shingles) signature aggregate b times, and
-    # the candidate self-join doubles that again — 32 evaluations of the
-    # most expensive subtree at k=128/b=16. Explode + persist makes it one.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -301,12 +446,17 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
     EXACTLY from the two docs' distinct-shingle sets. Recall is the LSH
     band recall: ≥99% for J ≥ 0.8 at k=128/bands=16 (r=8), degrading for
     pairs just above ``threshold``."""
-    cand = minhash_lsh_pairs(docs, k=k, bands=bands,
-                             text_col=text_col, id_col=id_col, n=n)
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, n)).alias("shs"),
-    ).withColumn("sz", F.size("shs"))
+    # ONE Arrow pass yields both the banding signatures and each doc's
+    # distinct shingle set as sorted integer codes; candidates come from
+    # the bands, the exact rescore intersects the (cheap, fixed-width)
+    # code arrays instead of re-shipping string shingle arrays
+    sig = minhash_signature_arrow(docs, k, text_col, id_col, n,
+                                  with_shingle_codes=True).persist()
+    cand = _band_candidates(sig, k, bands, id_col)
+    sets = sig.select(
+        F.col(id_col).alias("id"), F.col("sh_codes").alias("shs"),
+        F.size("sh_codes").alias("sz"),
+    )
     a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"),
                     F.col("sz").alias("sz_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),

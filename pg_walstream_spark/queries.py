@@ -400,7 +400,9 @@ _CORPUS_SHINGLE_SQL = (
 
 
 def minhash_signatures(spark, sf_dir):
-    return dd.minhash_signature(_t(spark, sf_dir, "documents"), k=8)
+    """Arrow-vectorized minhash (bit-identical to the SQL
+    definition — see dedup.minhash_signature_arrow)."""
+    return dd.minhash_signature_arrow(_t(spark, sf_dir, "documents"), k=8)
 
 
 def _minhash_sig_ctes(shingle_sql: str, k: int) -> str:

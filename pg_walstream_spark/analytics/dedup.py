@@ -1,21 +1,25 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot paths are pure Column expressions (JVM-side, codegen) — no Python
-UDFs. Tokenization/shingling semantics are deliberately canonical (lower +
-char-3-grams / ``[a-z0-9]+`` tokens, md5 hashing) so an external SQL engine
-(DuckDB oracle) can reproduce results bit-for-bit.
+Semantics are deliberately canonical (lower + char-3-grams /
+``[a-z0-9]+`` tokens, md5-derived hashes) so an external SQL engine
+(DuckDB oracle) reproduces every result bit-for-bit. Two compute tiers
+share those semantics: pure Column expressions where codegen wins, and
+vectorized Arrow kernels (numpy over whole batches, never per-row Python)
+where expression trees genuinely can't keep up — minhash signatures
+(np.minimum.reduceat over a vocabulary hash matrix) being the flagship.
 
 Scale notes (100 TB corpus):
 - exact: hash-groupBy with map-side partial agg — no skew risk.
 - minhash-LSH: banding turns all-pairs O(n²) into per-bucket candidate
-  join; band keys are md5-min strings, shuffle keys well distributed.
-  k/bands tune recall.
-- simhash: fixed-width bit signature; exact-signature buckets (hamming-0)
-  keep it join-free; widen via multiple rotated bands if needed.
-- n-gram jaccard: candidate pairs only (shingle-inverted-index join with
-  frequency cap to bound hot shingles — the classic stop-shingle guard).
-- embedding cosine: brute pairwise only for bounded n; LSH/IVF variants in
-  similarity.py are the scale path.
+  joins (k=128, r=8 for selectivity on short same-domain text); integer
+  60-bit signatures hash-aggregate with map-side combine.
+- simhash: 64-bit signature as 4x16-bit pieces; hamming-≤3 pairs via
+  pigeonhole piece banding + exact verification.
+- n-gram jaccard: exact Jaccard over minhash-LSH candidates — precision
+  exact, recall = band recall; the raw inverted-index variant (kept below)
+  blows up through hot shingles at corpus scale.
+- embedding cosine: brute pairwise only for bounded n; the sign-LSH +
+  exact-rescore paths in similarity.py are the scale answer.
 """
 
 from __future__ import annotations

@@ -368,7 +368,10 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
     max_hamming must stay < n_pieces for full recall. Candidates come from
     per-piece equality joins (join-key buckets, no all-pairs), then the
     exact hamming distance over all pieces verifies."""
-    sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col)
+    # persist: the per-piece candidate joins and the verify joins reference
+    # this DF 2*n_pieces + 2 times; uncached, each reference re-runs the
+    # 64-bit-sum token aggregation
+    sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col).persist()
     cand = None
     for p in range(n_pieces):
         a = sig.select(F.col(id_col).alias("id_a"),

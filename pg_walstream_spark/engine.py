@@ -655,6 +655,7 @@ class ReplayEngine:
             )
         snap = t.snapshot()
         key_cols = snap["key_columns"]
+        key_types = {n: ty for n, ty in snap["schema"] if n in key_cols}
         data_cols = [(n, ty) for n, ty in snap["schema"] if n not in key_cols]
         if truncate_pos is not None:
             lsn_hi = max(int(lsn_hi or 0), int(truncate_pos[2]))
@@ -688,6 +689,12 @@ class ReplayEngine:
             ).select(*[
                 _ma("old_data", k).alias(k) for k in key_cols
             ])
+            new_keys = new_keys.select(*[
+                F.col(k).cast(key_types.get(k, "string")) for k in key_cols
+            ])
+            old_keys = old_keys.select(*[
+                F.col(k).cast(key_types.get(k, "string")) for k in key_cols
+            ])
             bucket = t._bucket_expr(key_cols, snap["n_buckets"])
             affected = sorted(
                 r[0]
@@ -696,7 +703,8 @@ class ReplayEngine:
                 if r[0] is not None
             )
         changes = compact_changes(ev, key_cols, data_cols,
-                                  aliases=snap.get("aliases"))
+                                  aliases=snap.get("aliases"),
+                                  key_types=key_types)
         rec = t.merge(
             self.spark, changes, applied_lsn=int(lsn_hi),
             batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",

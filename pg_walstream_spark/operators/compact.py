@@ -27,7 +27,8 @@ ORD = ("commit_lsn", "seq")  # total order: commit order, then WAL order
 
 def dml_images(events: DataFrame, key_columns: list[str],
                data_columns: list[tuple[str, str]],
-               aliases: dict[str, list[str]] | None = None) -> DataFrame:
+               aliases: dict[str, list[str]] | None = None,
+               key_types: dict[str, str] | None = None) -> DataFrame:
     """Project committed DML events of ONE table to flat key/value images.
 
     ``data_columns``: (name, spark-type) for all non-key columns.
@@ -35,15 +36,24 @@ def dml_images(events: DataFrame, key_columns: list[str],
     rename history): events decoded before a mid-stream RENAME carry the
     old name in their tuple maps, so extraction coalesces across the
     alias chain.
+    ``key_types``: target lake type per key column. Keys MUST be cast to
+    the target's types: wire values are text, and a string-typed key would
+    hash to a different bucket than the target's typed column
+    (xxhash64('42') != xxhash64(42)) — a pruned MERGE would then read the
+    wrong bucket's files and strand stale rows.
     Output: ord cols, _op, key cols, value cols, per-column _t_<c> toast flag.
     """
     aliases = aliases or {}
+    key_types = key_types or {}
 
     def _ma(map_col: str, name: str):
         alts = [name] + list(aliases.get(name, []))
         if len(alts) == 1:
-            return F.element_at(map_col, name)
-        return F.coalesce(*[F.element_at(map_col, a) for a in alts])
+            out = F.element_at(map_col, name)
+        else:
+            out = F.coalesce(*[F.element_at(map_col, a) for a in alts])
+        ty = key_types.get(name)
+        return out.cast(ty) if ty else out
 
     is_del = F.col("event_type") == "delete"
     key_exprs = [
@@ -182,11 +192,14 @@ def compact_salted(images: DataFrame, key_columns: list[str],
 def compact_changes(events: DataFrame, key_columns: list[str],
                     data_columns: list[tuple[str, str]],
                     n_salt: int = 0,
-                    aliases: dict[str, list[str]] | None = None) -> DataFrame:
+                    aliases: dict[str, list[str]] | None = None,
+                    key_types: dict[str, str] | None = None) -> DataFrame:
     """events (one table, committed DML only) → MERGE-ready change set.
     ``n_salt > 0`` selects the explicit two-level salted reduce;
-    ``aliases`` maps renamed columns to their pre-rename names."""
-    images = dml_images(events, key_columns, data_columns, aliases=aliases)
+    ``aliases`` maps renamed columns to their pre-rename names;
+    ``key_types`` casts wire-text keys to the lake's key column types."""
+    images = dml_images(events, key_columns, data_columns, aliases=aliases,
+                        key_types=key_types)
     if n_salt > 0:
         return compact_salted(images, key_columns, data_columns, n_salt)
     return compact_last_image(images, key_columns, data_columns)

@@ -377,3 +377,48 @@ def test_replication_options_validation():
         ReplicationOptions(streaming="parallel", protocol_version=2).validate()
     with _pytest.raises(ValueError):
         ReplicationOptions(origin="sometimes").validate()
+
+
+def test_e2e_integer_keyed_table(spark, tmp_path):
+    """Wire values are text; an int-keyed lake table must still bucket and
+    join correctly (xxhash64('42') != xxhash64(42) — uncast string keys
+    would hash to different buckets than the typed target and a pruned
+    MERGE could strand stale rows)."""
+    from pg_walstream_spark.protocol import encoder as e
+
+    ACC_OID = 7001
+    ACC_COLS = [(1, "id", 20, -1), (0, "balance", 25, -1)]
+    b = wg.WalBuilder(5)
+    b.relation(ACC_OID, "accounts", ACC_COLS)
+    b.begin()
+    for i in range(50):
+        b.emit(e.encode_insert(
+            ACC_OID, (("t", str(1000 + i).encode()), ("t", b"new"))))
+    b.commit()
+    b.begin()
+    for i in range(0, 40, 2):  # update existing typed-key rows
+        b.emit(e.encode_update(
+            ACC_OID, (("t", str(i).encode()), ("t", b"updated")), None))
+    for i in range(1, 20, 2):  # delete others
+        b.emit(e.encode_delete(ACC_OID, (("t", str(i).encode()), ("n", None))))
+    b.commit()
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir)
+    eng = ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    base = spark.createDataFrame(
+        [(i, "orig") for i in range(100)], "id bigint, balance string")
+    eng.bootstrap_table("accounts", base, ["id"], n_buckets=8)
+    # two micro-batches: the second batch's pruned MERGE must locate rows
+    # the first batch wrote — misplaced buckets would duplicate keys here
+    eng.replay_frames(frames_dir, batch_frames=55)
+    t = eng.table("accounts")
+    rows = {r["id"]: r["balance"] for r in t.read(spark).collect()}
+    assert len(rows) == 100 - 10 + 50  # 100 base - 10 deleted + 50 inserted
+    assert all(isinstance(k, int) for k in rows)
+    assert rows[0] == "updated" and rows[38] == "updated"
+    assert 1 not in rows and 19 not in rows
+    assert rows[1000] == "new" and rows[40] == "orig"
+    # no duplicate keys across bucket files (the stale-row failure mode)
+    assert t.read(spark).count() == \
+        t.read(spark).select("id").distinct().count()

@@ -96,6 +96,81 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
     )
 
 
+def ivf_train_centroids(emb: DataFrame, n_centroids: int = 8,
+                        iterations: int = 1, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """k-means refinement of the deterministic seed centroids (first C
+    vectors by id): assign → per-cell elementwise mean → repeat. Round 1
+    used the raw seeds ("recall is accidental"); one Lloyd iteration pulls
+    each centroid to its cell's mass.
+
+    Engine-portable determinism: component means sum DECIMAL-cast values
+    (exact, order-independent — a double sum would differ between Spark
+    and DuckDB by reduction order), convert the exact sum to double, then
+    divide and round to 9dp. Cells that attract no members keep their
+    seed centroid. Returns (centroid_id, cvec array<double>, cnorm)."""
+    base = emb.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    seeds = base.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cvec")
+    )
+    cents = seeds
+    for _ in range(iterations):
+        withn = cents.select(
+            "centroid_id", "cvec",
+            F.sqrt(F.aggregate(
+                F.transform("cvec", lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x)).alias("cnorm"),
+        )
+        bn = base.select(
+            id_col, "v",
+            F.sqrt(F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x)).alias("_n"),
+        )
+        scored = bn.crossJoin(F.broadcast(withn)).withColumn(
+            "sim",
+            F.round(
+                F.aggregate(F.zip_with("v", "cvec", lambda x, y: x * y),
+                            F.lit(0.0), lambda a, x: a + x)
+                / (F.col("_n") * F.col("cnorm")), 9),
+        )
+        ord_ = F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nid"))
+        assign = scored.groupBy(id_col).agg(
+            F.max_by("centroid_id", ord_).alias("cell"))
+        comp = (
+            base.join(assign, id_col)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)), 9
+                ).alias("cx")
+            )
+        )
+        trained = comp.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("cvec")
+        ).select(F.col("cell").alias("centroid_id"), "cvec")
+        cents = (
+            seeds.select("centroid_id", F.col("cvec").alias("_seed"))
+            .join(trained, "centroid_id", "left")
+            .select("centroid_id",
+                    F.coalesce("cvec", "_seed").alias("cvec"))
+        )
+    return cents.select(
+        "centroid_id", "cvec",
+        F.sqrt(F.aggregate(
+            F.transform("cvec", lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x)).alias("cnorm"),
+    )
+
+
 def lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     """Deterministic random-hyperplane set: component (i, j) derives from
     md5(f"{i}:{j}") mapped to [-1, 1] — no RNG state, reproducible by the
@@ -251,14 +326,29 @@ def ann_lsh_pairs_arrow(emb: DataFrame, threshold: float = 0.95,
 
 def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
             n_centroids: int = 8, n_probe: int = 2,
-            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF search: per query, scan only the n_probe nearest cells."""
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            train_iterations: int = 0) -> DataFrame:
+    """IVF search: per query, scan only the n_probe nearest cells.
+    ``train_iterations > 0`` refines the seed centroids with that many
+    k-means passes (ivf_train_centroids) before assignment — round 1
+    searched against untrained first-C-by-id seeds."""
     base = emb.select(F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_n"))
-    cents = base.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
-        F.col("_n").alias("cnorm"),
-    )
-    assign = ivf_assignments(emb, n_centroids, vec_col, id_col)
+    if train_iterations > 0:
+        cents = ivf_train_centroids(emb, n_centroids, train_iterations,
+                                    vec_col, id_col)
+        scored0 = base.crossJoin(F.broadcast(cents)).withColumn(
+            "sim",
+            F.round(_dot(vec_col, "cvec") / (F.col("_n") * F.col("cnorm")), 9),
+        )
+        ord0 = F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nid"))
+        assign = scored0.groupBy(id_col).agg(
+            F.max_by("centroid_id", ord0).alias("cell"))
+    else:
+        cents = base.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
+            F.col("_n").alias("cnorm"),
+        )
+        assign = ivf_assignments(emb, n_centroids, vec_col, id_col)
     corpus = base.join(assign, on=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("_n").alias("cn"), "cell",

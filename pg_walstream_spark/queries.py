@@ -681,9 +681,13 @@ WHERE rank <= 5
 
 
 def ann_ivf_topk(spark, sf_dir):
+    """IVF top-k with ONE k-means training pass over the deterministic
+    seeds (round 1 searched untrained first-8-by-id centroids — "recall is
+    accidental"). Component means are exact decimal sums so DuckDB
+    reproduces the trained centroids bit-for-bit."""
     return sim.ann_ivf(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
-        n_centroids=8, n_probe=2,
+        n_centroids=8, n_probe=2, train_iterations=1,
     )
 
 
@@ -837,8 +841,33 @@ WITH n AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, emb AS cvec, nrm AS cnorm
+seeds AS (SELECT vec_id AS centroid_id, emb AS cvec, nrm AS cnorm
           FROM n ORDER BY vec_id LIMIT 8),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cvec)
+                            / (v.nrm * c.cnorm), 9) DESC,
+                      c.centroid_id) rn
+    FROM n v, seeds c) WHERE rn = 1),
+comp AS (
+  SELECT a.cell, unnest(range(1, len(v.emb) + 1)) AS pos,
+         unnest(v.emb) AS x
+  FROM assign0 a JOIN n v USING (vec_id)),
+cmean AS (
+  SELECT cell, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 9) AS cx
+  FROM comp GROUP BY 1, 2),
+trained AS (
+  SELECT cell AS centroid_id, list(cx ORDER BY pos) AS cvec
+  FROM cmean GROUP BY 1),
+cents AS (
+  SELECT s.centroid_id, coalesce(t.cvec, s.cvec) AS cvec,
+         sqrt(list_dot_product(coalesce(t.cvec, s.cvec),
+                               coalesce(t.cvec, s.cvec))) AS cnorm
+  FROM seeds s LEFT JOIN trained t USING (centroid_id)),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT v.vec_id, c.centroid_id AS cell,

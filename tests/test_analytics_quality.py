@@ -121,3 +121,43 @@ def test_ivf_assignment_matches_bruteforce_argmax(spark):
             key=lambda c: (cos(r["embedding"], c["embedding"]), -c["vec_id"]),
         )
         assert assign[r["vec_id"]] == best["vec_id"], r["vec_id"]
+
+
+def test_ivf_trained_centroids_quality(spark):
+    """One k-means pass must reduce quantization distortion (the training
+    objective: mean similarity of vectors to their assigned centroid), and
+    probe-limited search recall must stay above a sane floor."""
+    from pg_walstream_spark.analytics import similarity as sim
+
+    emb = Q._t(spark, SF, "embeddings")
+    qids = list(range(10))
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in sim.ann_bruteforce(emb, qids, k=10).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ann_ivf(emb, qids, k=10, n_centroids=8, n_probe=2,
+                                train_iterations=1).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"trained IVF recall@10 {recall:.2f}"
+
+    def mean_assign_sim(cents):
+        base = emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        bn = base.withColumn(
+            "_n", F.sqrt(F.aggregate(
+                F.expr("transform(v, x -> x * x)"),
+                F.lit(0.0), lambda a, x: a + x)))
+        scored = bn.crossJoin(F.broadcast(cents)).withColumn(
+            "sim",
+            F.aggregate(F.zip_with("v", "cvec", lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x)
+            / (F.col("_n") * F.col("cnorm")))
+        best = scored.groupBy("vec_id").agg(F.max("sim").alias("s"))
+        return best.agg(F.avg("s")).collect()[0][0]
+
+    seeds = sim.ivf_train_centroids(emb, 8, iterations=0)
+    trained = sim.ivf_train_centroids(emb, 8, iterations=1)
+    s0 = mean_assign_sim(seeds)
+    s1 = mean_assign_sim(trained)
+    assert s1 > s0, f"training did not reduce distortion: {s0:.4f} -> {s1:.4f}"

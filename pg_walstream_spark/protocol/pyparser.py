@@ -57,7 +57,13 @@ class _Reader:
         end = self.buf.find(b"\x00", self.pos)
         if end < 0:
             raise ProtocolError("unterminated cstring")
-        out = self.buf[self.pos : end].decode("utf-8")
+        try:
+            out = self.buf[self.pos : end].decode("utf-8")
+        except UnicodeDecodeError as ex:
+            # never leak a raw UnicodeDecodeError: malformed frames must
+            # surface as ProtocolError so callers can quarantine the row
+            # (hypothesis: tag 'Y' + b'\x80' crashed the parser contract)
+            raise ProtocolError(f"invalid utf-8 in cstring: {ex}") from ex
         self.pos = end + 1
         return out
 

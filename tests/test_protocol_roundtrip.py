@@ -6,7 +6,7 @@ Mirrors the reference's proptest strategy
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pg_walstream_spark.protocol import PyWalParser, ProtocolError, constants as c, encoder as e
@@ -168,6 +168,7 @@ def test_two_phase_roundtrips(l1, l2, t, x, gid, f):
 
 
 @settings(max_examples=200)
+@example(b"Y\x00\x00\x00\x00\x80\x00")  # invalid utf-8 inside a cstring
 @given(st.binary(min_size=0, max_size=40))
 def test_parser_never_panics_on_garbage(data):
     """Fuzz analog of /root/reference/fuzz/fuzz_targets/roundtrip_bytes.rs:

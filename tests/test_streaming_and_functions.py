@@ -49,7 +49,29 @@ def test_streaming_available_now_matches_golden(spark, tmp_path):
             for r in lake.read(spark).collect()
         )
         want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
-        assert got == want
+        if got != want:
+            import json as _json
+
+            diag = {
+                "table": tname,
+                "missing": [r[:2] for r in want if r not in got][:10],
+                "extra": [r[:2] for r in got if r not in want][:10],
+                "engine_state": eng._load_state(),
+                "lineage": {
+                    t2: eng.table(t2).snapshot()["lineage"]
+                    for t2 in ("repos", "repos_full")
+                },
+                "files": {
+                    t2: {b: [f.split("/")[-2] + "/" + f.split("/")[-1]
+                             for f in fl]
+                         for b, fl in eng.table(t2).snapshot()["files"].items()}
+                    for t2 in ("repos", "repos_full")
+                },
+            }
+            raise AssertionError(
+                "stream-vs-golden mismatch:\n" + _json.dumps(diag, indent=1,
+                                                             default=str)
+            )
         assert lake.applied_lsn() == glsn
 
 

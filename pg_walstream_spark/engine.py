@@ -235,11 +235,30 @@ class ReplayEngine:
 
     def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
                       stop_at_lsn: int | None = None,
-                      control_rows: list[dict] | None = None) -> dict:
+                      control_rows: list[dict] | None = None,
+                      seq_range: tuple[int, int] | None = None) -> dict:
         import time as _time
 
         phase_t = {}
         _t0 = _time.monotonic()
+
+        # WAL order guard: a transport that reorders frame files would have
+        # the late-arriving earlier segment silently fenced off as a
+        # duplicate (exactly what mtime-tied file listings produced). New
+        # data must extend the consumed range contiguously; a batch
+        # entirely at-or-behind the high-water mark is an at-least-once
+        # redelivery and proceeds (the LSN fence makes it a no-op).
+        if seq_range is not None:
+            lo, hi = seq_range
+            last = st.get("max_seq")
+            if last is not None and hi > last and lo != last + 1:
+                raise RuntimeError(
+                    f"WAL frames delivered out of order: batch covers seq "
+                    f"[{lo}, {hi}] but frames through {last} were already "
+                    f"consumed and the batch does not start at {last + 1}. "
+                    f"The frame transport must preserve WAL order "
+                    f"(file-based pumps: non-decreasing mtimes in seq order)."
+                )
 
         def _mark(name):
             nonlocal _t0
@@ -467,6 +486,8 @@ class ReplayEngine:
             if n_pending else []
         )
         st["applied_lsn"] = batch_applied
+        if seq_range is not None:
+            st["max_seq"] = max(int(st.get("max_seq") or -1), int(seq_range[1]))
         rec = {
             "batch_idx": batch_idx,
             "applied_lsn": batch_applied,

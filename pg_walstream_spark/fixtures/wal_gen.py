@@ -573,9 +573,20 @@ def write_frames(table: pa.Table, path: str, rows_per_file: int = 100_000):
     n = table.num_rows
     i = 0
     file_i = 0
+    import time as _time
+
+    t0 = int(_time.time())
     while i < n:
         chunk = table.slice(i, rows_per_file)
-        pq.write_table(chunk, os.path.join(path, f"part-{file_i:05d}.parquet"))
+        fp = os.path.join(path, f"part-{file_i:05d}.parquet")
+        pq.write_table(chunk, fp)
+        # STRICTLY increasing mtimes in WAL order: Structured Streaming's
+        # file source orders files by modification time with ties broken
+        # arbitrarily — files written within the same millisecond can be
+        # delivered out of WAL order, and the engine's LSN fence would then
+        # silently drop the late-arriving earlier segment (this was the
+        # round-1 "nondeterministic streaming failure")
+        os.utime(fp, (t0 + file_i, t0 + file_i))
         i += rows_per_file
         file_i += 1
     ctrl_path = path.rstrip("/") + "_control"

@@ -11,8 +11,13 @@ Maps the reference's live-tail lifecycle onto Spark's streaming runtime:
   end (the contract of /root/reference/src/stream.rs:1563-1582: ack only
   after successful apply).
 
-Frame files must be named in seq order (the generator writes
-``part-%05d.parquet``); the file source lists them lexicographically.
+Frame files MUST carry non-decreasing modification times in WAL order:
+the file source orders by mtime (ties broken arbitrarily, NOT by name), so
+the frame pump stamps strictly increasing mtimes (see
+fixtures/wal_gen.write_frames). The engine additionally verifies each
+batch's seq range is contiguous with what it has already consumed and
+fails loudly on out-of-order delivery — a reordered WAL segment would
+otherwise be silently fenced off as a duplicate.
 """
 
 from __future__ import annotations
@@ -51,6 +56,8 @@ def start_stream(
     )
 
     def apply_batch(df, epoch_id: int):
+        from pyspark.sql import functions as F
+
         # foreachBatch hands a DataFrame bound to a CLONED SparkSession;
         # re-root the engine on it so every DataFrame the batch touches
         # (pending reads, dispo frames, target scans, the MERGE write)
@@ -60,7 +67,11 @@ def start_stream(
         # conf divergence between plan fragments.
         engine.spark = df.sparkSession
         st = engine._load_state()
-        engine.process_batch(df, int(epoch_id), st)
+        rng = df.agg(F.min("seq"), F.max("seq")).collect()[0]
+        if rng[0] is None:
+            return
+        engine.process_batch(df, int(epoch_id), st,
+                             seq_range=(int(rng[0]), int(rng[1])))
 
     writer = (
         reader.writeStream.foreachBatch(apply_batch)

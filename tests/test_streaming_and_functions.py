@@ -222,3 +222,47 @@ def test_streaming_stop_and_resume_live_tail(spark, tmp_path):
     want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
     assert got == want
     assert lake.applied_lsn() == glsn
+
+
+def test_out_of_order_batch_raises(spark, tmp_path):
+    """A batch that extends the consumed seq range non-contiguously must
+    fail loudly — silently fencing a reordered WAL segment off as a
+    duplicate loses data (the round-1/2 streaming flake: frame files with
+    tied mtimes delivered out of order by the file source)."""
+    import pytest
+
+    base, b = wg.gen_basic(n_base=10, n_txns=4, ops_per_txn=2)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 4)
+    fdf = spark.read.parquet(frames_dir)
+    st = eng._load_state()
+    n = frames.num_rows
+    first = fdf.filter(F.col("seq") < 6)
+    eng.process_batch(first, 0, st, seq_range=(0, 5))
+    # skipping ahead (gap) must raise
+    tail = fdf.filter(F.col("seq") >= 10)
+    with pytest.raises(RuntimeError, match="out of order"):
+        eng.process_batch(tail, 1, st, seq_range=(10, n - 1))
+    # exact redelivery of the consumed range is fine (fence no-ops it)
+    eng.process_batch(first, 2, st, seq_range=(0, 5))
+    # contiguous continuation is fine
+    mid = fdf.filter((F.col("seq") >= 6) & (F.col("seq") < 10))
+    eng.process_batch(mid, 3, st, seq_range=(6, 9))
+
+
+def test_frame_files_have_increasing_mtimes(tmp_path):
+    """The frame pump must stamp strictly increasing mtimes so the
+    streaming file source lists files in WAL order."""
+    _, b = wg.gen_basic(n_base=10, n_txns=6, ops_per_txn=3)
+    d = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(b.to_table(), d, rows_per_file=7)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files) >= 3
+    mtimes = [os.stat(os.path.join(d, f)).st_mtime for f in files]
+    assert all(a < b2 for a, b2 in zip(mtimes, mtimes[1:])), mtimes

@@ -43,6 +43,38 @@ def tokens(col: str = "text"):
     return F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
 
 
+# results bigger than this stay distributed (cached); below it they are
+# materialized to the driver so every intermediate cache can be released
+_DRIVER_RESULT_CAP = 5_000_000
+
+
+def _eager_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
+    """Materialize ``result`` once and release every ``pinned`` cache.
+
+    The dedup/ANN operators persist a shared intermediate (signatures,
+    bucket assignments) that several joins reference. A lazy return would
+    either leak those caches for the session's lifetime (the long-lived
+    driver deployment) or, if released early, silently recompute the whole
+    pipeline per downstream action. Their RESULTS are thresholded pair/
+    score sets — orders of magnitude smaller than the inputs — so the
+    operator evaluates eagerly, frees the caches deterministically, and
+    returns the small result as a driver-local DataFrame. Results past
+    ``_DRIVER_RESULT_CAP`` rows stay distributed and cached (one bounded
+    result cache, caller-owned) instead of flooding the driver."""
+    spark = result.sparkSession
+    out = result.persist()
+    try:
+        n = out.count()
+        if n > _DRIVER_RESULT_CAP:
+            return out
+        pdf = out.toPandas()
+        out.unpersist()
+        return spark.createDataFrame(pdf, schema=result.schema)
+    finally:
+        for p in pinned:
+            p.unpersist()
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content-hash groupBy: one keeper (min id) per distinct
@@ -152,14 +184,19 @@ def minhash_signature_arrow(docs: DataFrame, k: int = 128,
 
         ddl_names = [id_col] + [f"h{j}" for j in range(k)]
         for b in batches:
-            ids = np.asarray(b.column(id_col).to_pylist(), np.int64)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
             texts = [(t or "").lower() for t in b.column(text_col).to_pylist()]
             if len(ids) == 0:
                 continue
             enc = [t.encode("utf-8") for t in texts]
             ascii_ok = all(len(e) == len(t) for e, t in zip(enc, texts))
             out_ids, out_sigs = [], []
-            if ascii_ok and int(ids.max(initial=0)) < (1 << 39):
+            # packed (id << 24 | code) keys need 0 <= id < 2^39: negative
+            # ids would corrupt the pack silently — route them to the
+            # per-doc fallback alongside the upper-bound check
+            if ascii_ok and int(ids.max(initial=0)) < (1 << 39) \
+                    and int(ids.min(initial=0)) >= 0:
                 lens = np.fromiter((len(e) for e in enc), np.int64,
                                    len(enc))
                 keep = lens >= n
@@ -241,15 +278,20 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
     """LSH banding: signature split into ``bands`` bands of k/bands rows;
     docs sharing any band key become a candidate pair (id_a < id_b)."""
     sig = minhash_signature_arrow(docs, k, text_col, id_col, n)
-    return _band_candidates(sig, k, bands, id_col)
+    pinned: list[DataFrame] = []
+    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned)
+    return _eager_release(cand, *pinned)
 
 
 def _band_candidates(sig: DataFrame, k: int, bands: int,
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     pinned: list | None = None) -> DataFrame:
     """Signature DF → distinct LSH candidate pairs. Bands via ONE explode,
     not a per-band union: a union of b branches re-evaluates the signature
     subtree b times, and the candidate self-join doubles that again —
-    32 evaluations at k=128/b=16. Explode + persist makes it one."""
+    32 evaluations at k=128/b=16. Explode + persist makes it one; the
+    persisted band-rows DF is appended to ``pinned`` so the caller can
+    release it after materializing downstream results."""
     r = k // bands
     band_structs = F.array(*[
         F.struct(
@@ -266,6 +308,8 @@ def _band_candidates(sig: DataFrame, k: int, bands: int,
                 F.col("bk.band_key").alias("band_key"))
         .persist()
     )
+    if pinned is not None:
+        pinned.append(band_rows)
     a = band_rows.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -357,48 +401,88 @@ def simhash_pieces(docs: DataFrame, n_pieces: int = 4, piece_bits: int = 16,
     return sums.select(F.col(id_col), *pieces)
 
 
+def _simhash_band_candidates(sig: DataFrame, n_pieces: int = 4,
+                             piece_bits: int = 16,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Two-level pigeonhole banding over piece signatures → candidate pairs
+    with FULL recall for hamming ≤ n_pieces - 1.
+
+    Single-piece banding (key = one 16-bit piece) collapses at corpus
+    scale: ~n²/2¹⁶ collisions per piece. Instead, observe that for ≤ 3
+    errors over 4 pieces, some piece p carries 0 errors AND some other
+    piece q carries ≤ 1 (if the three non-exact pieces all had ≥ 2, the
+    total would be ≥ 6). So band on the 32-bit key (p, q, P_p, P_q'):
+    one side emits its exact (P_p, P_q) per ordered piece pair, the other
+    emits P_q plus all single-bit flips (query expansion, 1 + piece_bits
+    variants). A true pair at hamming ≤ 3 always collides on some key;
+    random collisions need 32 agreeing bits (×17 expansion) —
+    ~17·n²/2³² candidates instead of ~4·n²/2¹⁶."""
+    pair_keys = []  # exact side: one key per ordered (p, q)
+    probe_keys = []  # expanded side: 1 + piece_bits variants per (p, q)
+    pq = 0
+    for p in range(n_pieces):
+        for q in range(n_pieces):
+            if p == q:
+                continue
+            base_key = (
+                (F.lit(pq) * F.lit(1 << (2 * piece_bits)))
+                + F.col(f"p{p}") * F.lit(1 << piece_bits)
+            )
+            pair_keys.append(base_key + F.col(f"p{q}"))
+            probe_keys.append(base_key + F.col(f"p{q}"))
+            for b in range(piece_bits):
+                probe_keys.append(
+                    base_key + F.col(f"p{q}").bitwiseXOR(F.lit(1 << b))
+                )
+            pq += 1
+    exact = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.array(*pair_keys)).alias("bk"),
+    )
+    probes = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.explode(F.array(*probe_keys)).alias("bk"),
+    )
+    return (
+        exact.join(probes, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
                           n_pieces: int = 4, piece_bits: int = 16,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs within hamming distance ``max_hamming`` of the 64-bit
-    simhash, via piece banding: by pigeonhole, two signatures at hamming
-    distance < n_pieces must agree exactly on at least one piece — with 4
-    pieces, any pair at hamming ≤ 3 shares ≥ 1 identical 16-bit piece — so
-    max_hamming must stay < n_pieces for full recall. Candidates come from
-    per-piece equality joins (join-key buckets, no all-pairs), then the
-    exact hamming distance over all pieces verifies."""
-    # persist: the per-piece candidate joins and the verify joins reference
-    # this DF 2*n_pieces + 2 times; uncached, each reference re-runs the
-    # 64-bit-sum token aggregation
-    sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col).persist()
-    cand = None
-    for p in range(n_pieces):
-        a = sig.select(F.col(id_col).alias("id_a"),
-                       F.col(f"p{p}").alias("pk"))
-        b = sig.select(F.col(id_col).alias("id_b"),
-                       F.col(f"p{p}").alias("pk"))
-        one = (
-            a.join(b, on="pk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = one if cand is None else cand.unionByName(one)
-    cand = cand.distinct()
-    sa = sig.select(F.col(id_col).alias("id_a"),
-                    *[F.col(f"p{p}").alias(f"pa{p}") for p in range(n_pieces)])
-    sb = sig.select(F.col(id_col).alias("id_b"),
-                    *[F.col(f"p{p}").alias(f"pb{p}") for p in range(n_pieces)])
+    simhash. Candidates via two-level pigeonhole banding on 32-bit
+    (piece-pair) keys — see _simhash_band_candidates; full recall holds
+    for max_hamming ≤ n_pieces - 1 (a 0-error piece exists, and the
+    remaining pieces cannot all carry ≥ 2 of the ≤ n_pieces - 1 errors).
+    Exact hamming distance over all pieces then verifies each candidate."""
+    if max_hamming > n_pieces - 1:
+        raise ValueError("full recall requires max_hamming <= n_pieces - 1")
+    sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col)
+    sig = sig.persist()
+    cand = _simhash_band_candidates(sig, n_pieces, piece_bits, id_col)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"p{p}").alias(f"pa{p}") for p in range(n_pieces)])
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"p{p}").alias(f"pb{p}") for p in range(n_pieces)])
     ham = None
     for p in range(n_pieces):
         term = F.expr(f"bit_count(pa{p} ^ pb{p})")
         ham = term if ham is None else ham + term
-    return (
+    out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _eager_release(out, sig)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -443,46 +527,96 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
+# above this many docs the per-doc shingle-set table stops being
+# broadcast-sized (≈ n_docs × avg_set × 8 B both sides) and the rescore
+# switches to the shuffle plan
+_JACCARD_BROADCAST_MAX_DOCS = 50_000
+
+
 def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
                             k: int = 128, bands: int = 16, n: int = 3,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            rescore: str = "auto") -> DataFrame:
     """Exact char-n-gram Jaccard over MinHash-LSH candidates — the
     scale path for n-gram dedup: banding bounds the candidate set (no
     all-pairs, no hot-shingle blowup), then each candidate pair is scored
     EXACTLY from the two docs' distinct-shingle sets. Recall is the LSH
     band recall: ≥99% for J ≥ 0.8 at k=128/bands=16 (r=8), degrading for
-    pairs just above ``threshold``."""
+    pairs just above ``threshold``.
+
+    ``rescore``: 'broadcast' ships the per-doc shingle-set table to every
+    executor and intersects code arrays in place — fastest while the sets
+    table is broadcast-sized. 'shuffle' is the corpus-scale plan: explode
+    the candidate docs' code sets and count intersections with hash joins
+    keyed by (doc, code) — no O(corpus) broadcast anywhere, skew bounded
+    by per-doc set size. 'auto' picks by corpus row count
+    (_JACCARD_BROADCAST_MAX_DOCS)."""
+    if rescore not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("rescore must be auto|broadcast|shuffle")
     # ONE Arrow pass yields both the banding signatures and each doc's
     # distinct shingle set as sorted integer codes; candidates come from
     # the bands, the exact rescore intersects the (cheap, fixed-width)
     # code arrays instead of re-shipping string shingle arrays
     sig = minhash_signature_arrow(docs, k, text_col, id_col, n,
                                   with_shingle_codes=True).persist()
-    cand = _band_candidates(sig, k, bands, id_col)
-    sets = sig.select(
-        F.col(id_col).alias("id"), F.col("sh_codes").alias("shs"),
-        F.size("sh_codes").alias("sz"),
-    )
-    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"),
-                    F.col("sz").alias("sz_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),
-                    F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    # broadcast the shingle-set side: shipping the (candidate x two
-    # ~n_shingles arrays) through a shuffle costs GBs where the per-doc set
-    # table is MBs. At corpus sizes past broadcast range, swap for a
-    # bucketed join of candidates against sets partitioned by doc id.
-    return (
-        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-        .withColumn("inter", inter)
-        .withColumn(
+    n_docs = sig.count()  # also warms the cache before the fan-out below
+    if rescore == "auto":
+        rescore = (
+            "broadcast" if n_docs <= _JACCARD_BROADCAST_MAX_DOCS
+            else "shuffle"
+        )
+    pinned: list[DataFrame] = [sig]
+    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned)
+    if rescore == "broadcast":
+        sets = sig.select(
+            F.col(id_col).alias("id"), F.col("sh_codes").alias("shs"),
+            F.size("sh_codes").alias("sz"),
+        )
+        a = sets.select(F.col("id").alias("id_a"),
+                        F.col("shs").alias("shs_a"),
+                        F.col("sz").alias("sz_a"))
+        b = sets.select(F.col("id").alias("id_b"),
+                        F.col("shs").alias("shs_b"),
+                        F.col("sz").alias("sz_b"))
+        inter = F.size(F.array_intersect("shs_a", "shs_b"))
+        scored = (
+            cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+            .withColumn("inter", inter)
+        )
+    else:
+        # corpus-scale rescore: |A ∩ B| as a counting join — candidates
+        # pick up set A's codes (join on id_a), then an equality join on
+        # (id_b, code) keeps exactly the shared codes. No broadcasts, no
+        # arrays through the shuffle; row volume is Σ_cand |set_a|.
+        ex = sig.select(F.col(id_col).alias("id"),
+                        F.explode("sh_codes").alias("code"))
+        sizes = sig.select(F.col(id_col).alias("id"),
+                           F.size("sh_codes").alias("sz"))
+        inter_cnt = (
+            cand
+            .join(ex.select(F.col("id").alias("id_a"), "code"), "id_a")
+            .join(ex.select(F.col("id").alias("id_b"), "code"),
+                  on=["id_b", "code"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = (
+            inter_cnt
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+        )
+    out = (
+        scored.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _eager_release(out, *pinned)
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,

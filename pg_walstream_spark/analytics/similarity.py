@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import _eager_release
+
 
 def _dbl(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
@@ -238,12 +240,13 @@ def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
                      F.col("_n").alias("na"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                      F.col("_n").alias("nb"))
-    return (
+    out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return _eager_release(out, base)
 
 
 def lsh_buckets_arrow(emb: DataFrame, n_planes: int = 12, bands: int = 16,
@@ -271,7 +274,15 @@ def lsh_buckets_arrow(emb: DataFrame, n_planes: int = 12, bands: int = 16,
             ids = b.column(id_col).to_numpy()
             if len(ids) == 0:
                 continue
-            vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+            # fixed-width list column: reshape the flat Arrow values buffer
+            # directly — no per-row Python object churn (to_pylist built
+            # len(ids) lists of dim floats per batch)
+            la = b.column(vec_col)
+            flat = la.flatten()
+            if la.null_count == 0 and len(flat) == len(ids) * dim:
+                vecs = np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+            else:  # ragged/null rows: slow path keeps semantics
+                vecs = np.array(la.to_pylist(), dtype=np.float64)
             bits = (vecs @ P) > 0                       # n x (planes*bands)
             bits = bits.reshape(len(ids), bands, n_planes)
             buckets = (bits * weights).sum(axis=2)      # n x bands
@@ -314,7 +325,7 @@ def ann_lsh_pairs_arrow(emb: DataFrame, threshold: float = 0.95,
                      F.col("_n").alias("na"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                      F.col("_n").alias("nb"))
-    return (
+    out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn(
             "cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
@@ -322,6 +333,7 @@ def ann_lsh_pairs_arrow(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return _eager_release(out, buckets)
 
 
 def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,

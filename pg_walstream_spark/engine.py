@@ -288,6 +288,7 @@ class ReplayEngine:
             carry_open_xid=st.get("open_xid"),
             carry_open_stream_xid=st.get("open_stream_xid"),
             carry_aborted_subxids=st.get("aborted_subxids"),
+            carry_origin_xids=st.get("origin_xids"),
         )
 
         _mark("control_scan")
@@ -325,7 +326,12 @@ class ReplayEngine:
         if self.options.origin == "none" and getattr(ctx, "has_origin", False):
             from .operators.raw import filter_origin
 
-            events = filter_origin(events, "none")
+            # the context's xid set includes carried marks, so a foreign
+            # transaction split across micro-batches stays poisoned
+            events = filter_origin(
+                events, "none",
+                foreign_xids=sorted(getattr(ctx, "origin_xids", ())),
+            )
 
         # Materialize the decoded batch once (localCheckpoint: raw row
         # blocks store and rescan ~2x cheaper than the columnar DF cache for
@@ -484,6 +490,10 @@ class ReplayEngine:
         st["aborted_subxids"] = (
             [int(x) for x in getattr(ctx, "aborted_subxids", [])]
             if n_pending else []
+        )
+        # origin marks of still-unresolved foreign txns survive the batch
+        st["origin_xids"] = sorted(
+            int(x) for x in getattr(ctx, "origin_carry", ())
         )
         st["applied_lsn"] = batch_applied
         if seq_range is not None:

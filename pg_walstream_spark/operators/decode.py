@@ -124,6 +124,12 @@ class DecodeContext:
         self.schema_changes: list[dict] = []
         self.protocol_version = 2
         self.has_origin = False
+        # xids of origin-marked (foreign) transactions, including ones
+        # carried from earlier batches whose span crosses the batch cut —
+        # origin filtering must poison their DML in EVERY batch they touch,
+        # not just the batch holding the ORIGIN frame
+        self.origin_xids: set[int] = set()
+        self.origin_carry: set[int] = set()
 
     # -- lookups (all vectorized) ------------------------------------------
 
@@ -183,6 +189,7 @@ def build_context(
     carry_open_xid: int | None = None,
     carry_open_stream_xid: int | None = None,
     carry_aborted_subxids: list[int] | None = None,
+    carry_origin_xids: list[int] | None = None,
 ) -> DecodeContext:
     """Sequentially replay the (rare) control frames on the driver to build
     the broadcast context. ``control_frames``: dicts with seq, wal_start,
@@ -195,6 +202,9 @@ def build_context(
     ctx = DecodeContext()
     ctx.protocol_version = protocol_version
     aborted_subxids: set[int] = set(carry_aborted_subxids or [])
+    origin_xids: set[int] = {int(x) for x in (carry_origin_xids or [])}
+    if origin_xids:
+        ctx.has_origin = True
     parser = PyWalParser(protocol_version)
     if carry_catalog:
         # normalize fully: engine state round-trips through JSON, turning
@@ -299,6 +309,14 @@ def build_context(
             dispo.setdefault(m["xid"], (ST_PREPARED, 0, 0, 0))
         elif et == "origin":
             ctx.has_origin = True
+            # poison the enclosing transaction: its DML in this AND later
+            # batches (via origin_carry) must be dropped under origin='none'
+            enclosing = (
+                beg_x[open_begin_idx] if open_begin_idx is not None
+                else parser.in_stream_xid
+            )
+            if enclosing is not None:
+                origin_xids.add(int(enclosing))
         elif et == "stream_abort":
             # subxid == xid → the whole streamed transaction aborts;
             # subxid != xid → ONLY the subtransaction's span of changes is
@@ -328,6 +346,14 @@ def build_context(
                   if e_ == 1 << 62]
     ctx.open_stream_carry = open_spans[-1] if open_spans else None
     ctx.aborted_subxids = np.array(sorted(aborted_subxids), np.int64)
+    ctx.origin_xids = origin_xids
+    # carry forward origin marks whose transactions are still unresolved
+    # (no disposition yet, or prepared awaiting COMMIT PREPARED) — a
+    # resolved foreign txn had its DML filtered this batch and is spent
+    ctx.origin_carry = {
+        x for x in origin_xids
+        if x not in dispo or dispo[x][0] == ST_PREPARED
+    }
     return ctx
 
 

@@ -112,13 +112,30 @@ def parse_keepalive(raw_df: DataFrame) -> DataFrame:
     return raw_df.mapInArrow(fn, KEEPALIVE_DDL)
 
 
-def filter_origin(events: DataFrame, mode: str = "none") -> DataFrame:
-    """origin 'none': drop DML of transactions that carry a replication
-    origin (an 'origin' event inside the txn span); 'any': passthrough."""
+_ORIGIN_DROP_TYPES = ("insert", "update", "delete", "truncate")
+
+
+def filter_origin(events: DataFrame, mode: str = "none",
+                  foreign_xids: list[int] | None = None) -> DataFrame:
+    """origin 'none': drop the changes (DML + truncate) of transactions that
+    carry a replication origin; 'any': passthrough.
+
+    ``foreign_xids``: driver-known foreign xid set (from the control-scan
+    context, including xids carried across micro-batch boundaries — an
+    ORIGIN frame in batch N must poison the same txn's DML in batch N+1).
+    When None, falls back to deriving the set from origin events present in
+    this DataFrame (single-batch semantics only)."""
     if mode == "any":
         return events
     if mode != "none":
         raise ValueError("origin mode must be 'none' or 'any'")
+    changes = F.col("event_type").isin(list(_ORIGIN_DROP_TYPES))
+    if foreign_xids is not None:
+        if not foreign_xids:
+            return events
+        return events.filter(
+            ~(changes & F.col("xid").isin([int(x) for x in foreign_xids]))
+        )
     # the decode kernel stamps origin events with their enclosing txn xid,
     # so foreign transactions are exactly the xids carrying an origin row
     foreign = (
@@ -128,9 +145,7 @@ def filter_origin(events: DataFrame, mode: str = "none") -> DataFrame:
         .select("xid")
         .distinct()
     )
-    dml = events.filter(F.col("event_type").isin("insert", "update", "delete"))
-    non_dml = events.filter(
-        ~F.col("event_type").isin("insert", "update", "delete")
-    )
+    dml = events.filter(changes)
+    non_dml = events.filter(~changes)
     return dml.join(F.broadcast(foreign), on="xid", how="left_anti") \
         .unionByName(non_dml)

@@ -59,6 +59,92 @@ def test_simhash_pairs_nonvacuous_and_within_hamming(spark):
     assert any(r["id_b"] - r["id_a"] == OFF for r in out)
 
 
+def test_simhash_banding_selective_and_complete(spark):
+    """Corpus-scale guard for the two-level simhash banding: on a 10⁴-doc
+    synthetic signature corpus the candidate set must stay a vanishing
+    fraction of all pairs (the single-16-bit-piece scheme yields ~n²/2¹⁶
+    per piece — ~6% of all pairs here), AND every planted pair at hamming
+    ≤ 3 must surface (the pigeonhole completeness proof, empirically)."""
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        *[
+            F.abs(F.xxhash64(F.col("id"), F.lit(p))).bitwiseAND(
+                F.lit(0xFFFF)
+            ).alias(f"p{p}")
+            for p in range(4)
+        ],
+    )
+    # plant near-dups: ids n..n+99 copy ids 0..99 with 3 bits flipped
+    # (1 in p0, 2 in p3 — exercises the unequal-error-split case)
+    dup = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.col("p0").bitwiseXOR(F.lit(1)).alias("p0"),
+        F.col("p1"),
+        F.col("p2"),
+        F.col("p3").bitwiseXOR(F.lit(0b101)).alias("p3"),
+    )
+    sig = base.unionByName(dup)
+    cand = dd._simhash_band_candidates(sig, n_pieces=4, piece_bits=16)
+    rows = cand.collect()
+    total = n + 100
+    possible = total * (total - 1) // 2
+    ratio = len(rows) / possible
+    assert ratio < 0.001, f"candidate ratio {ratio:.5f} — banding too loose"
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    missing = [(i, i + n) for i in range(100) if (i, i + n) not in got]
+    assert not missing, f"planted hamming-3 pairs missed: {missing[:5]}"
+
+
+def test_analytics_release_caches(spark):
+    """Every cache an analytics operator pins must be released before it
+    returns (long-lived drivers would otherwise leak cached partitions
+    per invocation)."""
+    from pg_walstream_spark.analytics import similarity as sim
+
+    docs = Q._neardup_docs(spark, SF)
+    emb = Q._neardup_embeddings(spark, "/root/testdata/sf0.001")
+    for out in (
+        dd.minhash_lsh_pairs(docs, k=32, bands=8),
+        dd.simhash_hamming_pairs(docs),
+        dd.ngram_jaccard_lsh_pairs(docs, rescore="shuffle"),
+        sim.ann_lsh_pairs(emb, threshold=0.45),
+        sim.ann_lsh_pairs_arrow(emb, threshold=0.95),
+    ):
+        out.count()
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n_cached == 0, f"{n_cached} cached RDDs leaked"
+
+
+def test_jaccard_shuffle_rescore_parity_and_no_broadcast(spark):
+    """The corpus-scale rescore must (a) reproduce the broadcast plan's
+    result exactly and (b) carry no broadcast hint on the shingle-set side
+    (an O(corpus) broadcast is the thing it exists to avoid; AQE may still
+    choose a broadcast join at runtime when the actual size is small)."""
+    docs = Q._neardup_docs(spark, SF)
+    bc = sorted(map(tuple,
+                    dd.ngram_jaccard_lsh_pairs(docs,
+                                               rescore="broadcast").collect()))
+    sh = sorted(map(tuple,
+                    dd.ngram_jaccard_lsh_pairs(docs,
+                                               rescore="shuffle").collect()))
+    assert bc == sh and len(sh) > 0
+    # plan check on the un-materialized shuffle rescore: build the scored
+    # plan pieces directly and inspect the optimized logical plan
+    sig = dd.minhash_signature_arrow(docs, 128, with_shingle_codes=True)
+    cand = dd._band_candidates(sig, 128, 16)
+    ex = sig.select(F.col("doc_id").alias("id"),
+                    F.explode("sh_codes").alias("code"))
+    joined = (
+        cand.join(ex.select(F.col("id").alias("id_a"), "code"), "id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "code"),
+              on=["id_b", "code"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower(), plan
+
+
 def test_simhash64_no_birthday_collisions(spark):
     """Docs colliding at hamming 0 on 64 bits must be GENUINE near-dups
     (high token overlap), never birthday accidents — the 16-bit signature

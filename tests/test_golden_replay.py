@@ -363,6 +363,35 @@ def test_e2e_origin_option(spark, tmp_path, origin_mode, expect_foreign):
     assert lake.read(spark).count() == 20 + 4 + expect_foreign
 
 
+@pytest.mark.parametrize("batch_frames", [3, 10])
+def test_e2e_origin_spanning_batches(spark, tmp_path, batch_frames):
+    """A foreign-origin transaction split across micro-batch boundaries must
+    have ALL its DML dropped under origin='none' — the ORIGIN frame lands in
+    one batch but the txn's later DML and COMMIT land in the next, so the
+    foreign mark must be carried in engine state (regression: per-batch-only
+    filtering applied the later-batch portion of the foreign txn, a partial
+    foreign apply that violated both the origin option and txn atomicity)."""
+    from pg_walstream_spark.options import ReplicationOptions
+
+    base, b = wg.gen_origin(n_base=20)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir)
+    eng = ReplayEngine(
+        spark, os.path.join(str(tmp_path), "wh"),
+        options=ReplicationOptions(origin="none"),
+    )
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    eng.replay_frames(frames_dir, batch_frames=batch_frames)
+    lake = eng.table("repos")
+    assert lake.read(spark).filter("repo = 'orgF/foreign'").count() == 0
+    assert lake.read(spark).count() == 20 + 4
+    # the mark is spent once the foreign txn resolves — no unbounded growth
+    assert eng._load_state().get("origin_xids") == []
+
+
 def test_replication_options_validation():
     from pg_walstream_spark.options import ReplicationOptions
     import pytest as _pytest

@@ -118,13 +118,31 @@ class LakeTable:
         return t
 
     def add_columns(self, cols: list[tuple[str, str]], lsn: int | None = None) -> None:
-        """Metadata-only schema evolution (Iceberg ADD COLUMN analog)."""
+        """Metadata-only schema evolution (Iceberg ADD COLUMN analog).
+
+        A name that re-enters the schema after a DROP — or that collides
+        with a pre-rename alias still serving another column's data — gets
+        a ``column_since`` fence (the new snapshot version): files written
+        before it still hold the OLD column's physical values under this
+        name, and ``read`` must serve null for the new column from them
+        instead of resurrecting stale data (Iceberg solves this with field
+        ids; the version fence is the snapshot-log equivalent)."""
         snap = self.snapshot()
         existing = {n for n, _ in snap["schema"]}
         added = [(n, ty) for n, ty in cols if n not in existing]
         if not added:
             return
         snap["version"] += 1
+        alias_olds = {
+            a for olds in snap.get("aliases", {}).values() for a in olds
+        }
+        haunted = set(snap.get("dropped_names", [])) | alias_olds
+        since = dict(snap.get("column_since", {}))
+        for n, _ in added:
+            if n in haunted:
+                since[n] = snap["version"]
+        if since:
+            snap["column_since"] = since
         snap["schema"] = snap["schema"] + added
         snap["lineage"] = snap["lineage"] + [
             {"event": "add_columns", "columns": added, "lsn": lsn}
@@ -168,9 +186,18 @@ class LakeTable:
             return
         snap["version"] += 1
         snap["schema"] = [e for e in snap["schema"] if e[0] not in dropped]
-        aliases = {k: v for k, v in snap.get("aliases", {}).items()
-                   if k not in dropped}
-        snap["aliases"] = aliases
+        pre_aliases = snap.get("aliases", {})
+        snap["aliases"] = {k: v for k, v in pre_aliases.items()
+                           if k not in dropped}
+        # remember every physical name the dropped columns leave behind in
+        # existing files (the column itself + its pre-rename aliases): a
+        # later add_columns under any of these names must NOT resurrect
+        # their old values (see add_columns / column_since)
+        ghost = set(snap.get("dropped_names", []))
+        for c in dropped:
+            ghost.add(c)
+            ghost.update(pre_aliases.get(c, []))
+        snap["dropped_names"] = sorted(ghost)
         snap["lineage"] = snap["lineage"] + [
             {"event": "drop_columns", "columns": dropped, "lsn": lsn}
         ]
@@ -206,6 +233,57 @@ class LakeTable:
     def _spark_schema_ddl(self, snap: dict) -> str:
         return ", ".join(f"`{n}` {ty}" for n, ty in snap["schema"])
 
+    @staticmethod
+    def _file_version(path: str) -> int:
+        """Snapshot version a data file was written at (encoded in its
+        ``data/s{N}-{uuid}/`` directory)."""
+        import re
+
+        m = re.search(r"/s(\d+)-[0-9a-f]+/", path)
+        return int(m.group(1)) if m else 1
+
+    def _read_files(self, spark: SparkSession, snap: dict, files: list[str],
+                    masked: frozenset) -> DataFrame:
+        """Read one group of data files through the current schema.
+
+        ``masked``: re-added column names whose values in THESE files belong
+        to a previously dropped/renamed column — served as null (see
+        add_columns / column_since). Rename aliases: each pre-rename
+        physical name is also requested (typed like its current column) so
+        old files keep serving data, then coalesced into the current name."""
+        aliases = snap.get("aliases", {})
+        typemap = {n: ty for n, ty in snap["schema"]}
+        requested = [(n, ty) for n, ty in snap["schema"] if n not in masked]
+        req_names = {n for n, _ in requested}
+        extra = [
+            (a, typemap[new])
+            for new, olds in aliases.items() if new in typemap
+            for a in olds if a not in req_names
+        ]
+        full_ddl = ", ".join(
+            f"`{n}` {ty}" for n, ty in [*requested, *extra]
+        )
+        # explicit schema → files missing late-added columns read as null
+        df = spark.read.schema(full_ddl).parquet(*files)
+        sel_cols = []
+        plain = True
+        for n, ty in snap["schema"]:
+            if n in masked:
+                sel_cols.append(F.lit(None).cast(ty).alias(n))
+                plain = False
+                continue
+            olds = [a for a in aliases.get(n, []) if a not in req_names]
+            if olds:
+                sel_cols.append(
+                    F.coalesce(F.col(n), *[F.col(a) for a in olds]).alias(n)
+                )
+                plain = False
+            else:
+                sel_cols.append(F.col(n))
+        if plain and not extra:
+            return df
+        return df.select(*sel_cols)
+
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         snap = self.snapshot()
         files = []
@@ -217,35 +295,25 @@ class LakeTable:
         ddl = self._spark_schema_ddl(snap)
         if not files:
             return spark.createDataFrame([], ddl)
-        aliases = snap.get("aliases", {})
-        typemap = {n: ty for n, ty in snap["schema"]}
-        cur_names = set(typemap)
-        # rename aliases: also request each pre-rename column name (typed
-        # like its current column) so old files keep serving data, then
-        # coalesce alias → current name
-        extra = [
-            (a, typemap[new])
-            for new, olds in aliases.items() if new in typemap
-            for a in olds if a not in cur_names
+        since = snap.get("column_since", {})
+        if not since:
+            return self._read_files(spark, snap, files, frozenset())
+        # group files by which re-added columns must be masked for them:
+        # a file written before a column's re-add fence still carries the
+        # dropped/renamed predecessor's physical values under that name
+        groups: dict[frozenset, list[str]] = {}
+        for f in files:
+            v = self._file_version(f)
+            mask = frozenset(c for c, v0 in since.items() if v < int(v0))
+            groups.setdefault(mask, []).append(f)
+        dfs = [
+            self._read_files(spark, snap, fl, mask)
+            for mask, fl in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
         ]
-        full_ddl = ", ".join(
-            f"`{n}` {ty}" for n, ty in [*snap["schema"], *extra]
-        )
-        # explicit schema → files missing late-added columns read as null
-        df = spark.read.schema(full_ddl).parquet(*files)
-        if extra:
-            sel_cols = []
-            for n, _ty in snap["schema"]:
-                olds = [a for a in aliases.get(n, []) if a not in cur_names]
-                if olds:
-                    sel_cols.append(
-                        F.coalesce(F.col(n), *[F.col(a) for a in olds])
-                        .alias(n)
-                    )
-                else:
-                    sel_cols.append(F.col(n))
-            df = df.select(*sel_cols)
-        return df
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # ----------------------------------------------------------------- write
 
@@ -326,14 +394,26 @@ class LakeTable:
         n_buckets = snap["n_buckets"]
         data_cols = [n for n, _ in snap["schema"]]
 
+        # a change row with a null key column can never match a target row:
+        # its delete would silently no-op and its upsert would insert an
+        # unmatchable null-key row (e.g. a wire-text key that failed the
+        # cast to the lake key type). Quarantine them — counted in the
+        # lineage record — instead of letting them into the join.
+        null_key = None
+        for k in key_cols:
+            t = F.col(k).isNull()
+            null_key = t if null_key is None else (null_key | t)
         obs = Observation()
         changes = changes.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
         ).observe(
             obs,
-            F.count(F.when(F.col("_op") == "upsert", 1)).alias("u"),
-            F.count(F.when(F.col("_op") == "delete", 1)).alias("d"),
-        )
+            F.count(F.when((F.col("_op") == "upsert") & ~null_key, 1))
+            .alias("u"),
+            F.count(F.when((F.col("_op") == "delete") & ~null_key, 1))
+            .alias("d"),
+            F.count(F.when(null_key, 1)).alias("nk"),
+        ).filter(~null_key)
 
         if truncate_first:
             affected = list(range(n_buckets))
@@ -403,6 +483,7 @@ class LakeTable:
             "applied_lsn": applied_lsn,
             "upserts": n_up,
             "deletes": n_del,
+            "null_key_quarantined": int(cstats["nk"]),
             "buckets_rewritten": sorted(int(b) for b in new_files),
             "truncated": truncate_first,
             "wall_ms": sum(phase.values()),
@@ -415,6 +496,8 @@ class LakeTable:
             "key_columns": key_cols,
             "n_buckets": n_buckets,
             "aliases": snap.get("aliases", {}),
+            "dropped_names": snap.get("dropped_names", []),
+            "column_since": snap.get("column_since", {}),
             "files": files,
             "properties": {
                 **snap["properties"],

@@ -62,9 +62,13 @@ APPLY_TYPES = DML_TYPES + ("truncate",)
 class ReplayEngine:
     def __init__(self, spark: SparkSession, warehouse: str,
                  protocol_version: int = 2,
-                 options: ReplicationOptions | None = None):
+                 options: ReplicationOptions | None = None,
+                 retry_config=None):
         self.spark = spark
         self.warehouse = warehouse
+        # transient-vs-permanent batch retry budget (retry.py); None keeps
+        # the defaults mirroring the reference's RetryConfig
+        self.retry_config = retry_config
         # the START_REPLICATION option set selects decoder/engine behavior
         # here (see options.py); protocol_version kwarg kept as shorthand
         self.options = (
@@ -220,10 +224,28 @@ class ReplayEngine:
                         _pc.less_equal(control_table.column("seq"), end),
                     )
                 ).to_pylist()
-            rec = self.process_batch(
-                batch, batch_idx, st, stop_at_lsn=stop_at_lsn,
-                control_rows=control_rows,
+            # transient failures (FS hiccups, executor loss surfacing as a
+            # job failure) retry the WHOLE batch under a backoff budget —
+            # safe because the LSN fence makes partial re-application a
+            # no-op; permanent ones (ProtocolError floods, schema
+            # hard-miss) raise immediately with their diagnostics
+            # (/root/reference/src/retry.rs:36-62 + error.rs:221-245)
+            from .retry import retry_call
+
+            retries: list[dict] = []
+            rec = retry_call(
+                lambda: self.process_batch(
+                    batch, batch_idx, st, stop_at_lsn=stop_at_lsn,
+                    control_rows=control_rows,
+                ),
+                self.retry_config,
+                on_retry=lambda attempt, delay, exc: retries.append(
+                    {"attempt": attempt, "delay_s": round(delay, 3),
+                     "error": f"{type(exc).__name__}: {exc}"[:200]}
+                ),
             )
+            if retries:
+                rec["retries"] = retries
             summary.append(rec)
             batch_idx += 1
             if rec.get("stopped"):

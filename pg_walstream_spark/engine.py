@@ -133,6 +133,19 @@ class ReplayEngine:
                 None, None, None, None, None,
                 f"batch pending={m.get('pending')} quarantined={m.get('quarantined')}",
             ))
+        # frame files held behind a WAL-order gap (streaming hold-and-
+        # release): a non-empty set that never drains means a seq range was
+        # lost in transport — surface it as a health row
+        if st.get("held_frames"):
+            spans = ", ".join(
+                f"[{h['lo']},{h['hi']}]" for h in st["held_frames"]
+            )
+            rows.append((
+                None, None, st.get("applied_lsn"), None, None, None, None,
+                None,
+                f"held_frames={len(st['held_frames'])} spans {spans} "
+                f"(waiting for seq {int(st.get('max_seq', -1)) + 1})",
+            ))
         return self.spark.createDataFrame(
             rows,
             "table string, batch_id string, applied_lsn long, upserts long, "

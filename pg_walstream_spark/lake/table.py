@@ -425,8 +425,27 @@ class LakeTable:
         target = self.read(spark, buckets=affected).withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
         )
+        # row-conservation observation on the target side. Guard against
+        # plans where the optimizer ELIMINATES the observe node (and .get
+        # would then assert): limit(0) under truncate, and an empty target
+        # relation propagated through the full-outer join. Both cases have
+        # a statically-known target count instead.
+        snap_files = snap["files"]
+        if affected is None:
+            n_tfiles = sum(len(fl) for fl in snap_files.values())
+        else:
+            n_tfiles = sum(
+                len(snap_files.get(str(b), [])) for b in affected
+            )
+        obs_t = None
+        static_n_target = None
         if truncate_first:
             target = target.limit(0)
+        elif n_tfiles == 0:
+            static_n_target = 0
+        else:
+            obs_t = Observation()
+            target = target.observe(obs_t, F.count(F.lit(1)).alias("nt"))
 
         # Single full-outer join resolves everything in one shuffle each side
         # (the pruned target is the only big input): untouched target rows
@@ -463,13 +482,45 @@ class LakeTable:
         sel.append(
             F.coalesce(F.col("c._bucket"), F.col("t._bucket")).alias("_bucket")
         )
+        obs_out = Observation()
         new_data = j.filter(
             untouched | (F.col("c._op") == "upsert")
-        ).select(*sel)
+        ).select(*sel).observe(obs_out, F.count(F.lit(1)).alias("no"))
 
         new_files = self._write_buckets(new_data, snap["version"] + 1)
         cstats = obs.get
+        n_target = (
+            int(obs_t.get["nt"]) if obs_t is not None else static_n_target
+        )
+        n_out = int(obs_out.get["no"])
         _mark("join_write_ms")
+
+        # delivery-contract invariants, checked BEFORE the snapshot commit
+        # (the reference acks only after a verified apply,
+        # /root/reference/src/stream.rs:1563-1582). Violations abort the
+        # merge loudly instead of committing silent row loss.
+        if affected is not None:
+            stray = sorted(
+                int(b) for b in new_files
+                if int(b) not in {int(x) for x in affected}
+            )
+            if stray:
+                # a change row hashed to a bucket the planner did not read:
+                # committing would REPLACE that bucket's files with only the
+                # change rows, dropping every untouched row in it
+                raise RuntimeError(
+                    f"MERGE wrote buckets {stray} outside the planned read "
+                    f"set {sorted(affected)} (batch {batch_id}, table "
+                    f"{self.root}): bucket planning diverged from the "
+                    f"change-set bucketing; aborting before commit"
+                )
+        if n_target is not None and n_out < n_target - int(cstats["d"]):
+            raise RuntimeError(
+                f"MERGE row-conservation violated (batch {batch_id}, table "
+                f"{self.root}): {n_target} target rows read, "
+                f"{int(cstats['d'])} deletes, but only {n_out} rows written "
+                f"— untouched rows would be lost; aborting before commit"
+            )
 
         files = dict(snap["files"]) if not truncate_first else {}
         for b in (affected if affected is not None else list(snap["files"])):
@@ -484,6 +535,8 @@ class LakeTable:
             "upserts": n_up,
             "deletes": n_del,
             "null_key_quarantined": int(cstats["nk"]),
+            "target_rows": n_target,
+            "rows_written": n_out,
             "buckets_rewritten": sorted(int(b) for b in new_files),
             "truncated": truncate_first,
             "wall_ms": sum(phase.values()),

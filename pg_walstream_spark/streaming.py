@@ -11,18 +11,18 @@ Maps the reference's live-tail lifecycle onto Spark's streaming runtime:
   end (the contract of /root/reference/src/stream.rs:1563-1582: ack only
   after successful apply).
 
-Frame files MUST carry non-decreasing modification times in WAL order:
-the file source orders by mtime (ties broken arbitrarily, NOT by name), so
-the frame pump stamps strictly increasing mtimes (see
-fixtures/wal_gen.write_frames). The engine additionally verifies each
-batch's seq range is contiguous with what it has already consumed and
-fails loudly on out-of-order delivery — a reordered WAL segment would
-otherwise be silently fenced off as a duplicate.
+Delivery-order independence: the ingest does NOT trust the file source's
+listing order. Files beyond a seq gap are held (by path, in engine state)
+and released once the gap fills — see ``ingest_frames_batch``. This is the
+fix for the round-1/2 exactly-once flake: Spark's file source occasionally
+delivered frame files out of mtime order, the engine applied the later
+segment's commits, and the LSN fence then silently discarded the middle
+segment's transactions as "duplicates" when they finally arrived.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from .engine import ReplayEngine
 
@@ -30,6 +30,97 @@ FRAME_SPARK_DDL = (
     "seq long, wal_start long, wal_end long, server_time long, tag int, "
     "data binary"
 )
+
+
+def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
+                        epoch_id: int) -> dict | None:
+    """Apply one micro-batch of frame files with WAL-order repair
+    (hold-and-release). Shared by the streaming sink and tests.
+
+    Frames carry DENSE 0-based seq numbers and files are the transport's
+    atomic delivery unit. The file source CAN deliver files out of WAL
+    order (observed ~1/5 full-suite runs despite strictly increasing
+    mtimes): a batch of files {1,3} would apply file 3's commits, advance
+    the LSN fence past them, and then silently fence off file 2's
+    transactions when it arrived "behind" the high-water mark. Instead of
+    trusting delivery order, each batch:
+
+    - skips files entirely at-or-behind the consumed seq (at-least-once
+      redelivery — the LSN fence would no-op them anyway),
+    - processes the files extending the consumed range contiguously,
+    - HOLDS files beyond a gap (by path, in engine state) until a later
+      batch fills the gap.
+
+    Delivery order no longer matters; only a seq that never arrives (real
+    WAL loss) blocks progress, and it stays visible as ``held_frames`` in
+    the engine state / health report.
+    """
+    from pyspark.sql import functions as F
+
+    # foreachBatch hands a DataFrame bound to a CLONED SparkSession;
+    # re-root the engine on it so every DataFrame the batch touches
+    # (pending reads, dispo frames, target scans, the MERGE write) lives on
+    # ONE session. Mixing the clone with the original session deadlocks
+    # observed metrics (the write runs on one session's listener bus, the
+    # observation waits on the other's) and leaves conf divergence between
+    # plan fragments.
+    engine.spark = df.sparkSession
+    st = engine._load_state()
+
+    spans = [
+        {"path": r["path"], "lo": int(r["lo"]), "hi": int(r["hi"]),
+         "n": int(r["n"])}
+        for r in df.groupBy(F.input_file_name().alias("path"))
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+             F.count("seq").alias("n")).collect()
+    ]
+    for s in spans:
+        # a gap INSIDE one file is corruption, not reordering — no later
+        # delivery can heal it, so fail loudly
+        if s["n"] != s["hi"] - s["lo"] + 1:
+            raise RuntimeError(
+                f"WAL frame gap inside file {s['path']} (micro-batch "
+                f"{epoch_id}): seq span [{s['lo']}, {s['hi']}] but only "
+                f"{s['n']} frames present — frame file is corrupt."
+            )
+    held = list(st.get("held_frames", []))
+    known = {s["path"] for s in spans}
+    candidates = spans + [h for h in held if h["path"] not in known]
+    if not candidates:
+        return None
+    consumed = st.get("max_seq")
+    expected = int(consumed) + 1 if consumed is not None else 0
+    process, new_held = [], []
+    for s in sorted(candidates, key=lambda s: s["lo"]):
+        if s["hi"] < expected:
+            continue  # fully consumed already (at-least-once redelivery)
+        if s["lo"] <= expected:
+            process.append(s)
+            expected = s["hi"] + 1
+        else:
+            new_held.append(s)
+    if [h["path"] for h in new_held] != [h["path"] for h in held]:
+        st["reorder_events"] = int(st.get("reorder_events", 0)) + 1
+    st["held_frames"] = new_held
+    if not process:
+        engine._save_state(st)
+        return None
+    paths = [s["path"] for s in process]
+    if set(paths) == known and not held:
+        batch_df = df  # common in-order case: reuse the source's batch
+    else:
+        batch_df = df.sparkSession.read.schema(FRAME_SPARK_DDL).parquet(
+            *paths
+        )
+    start = int(consumed) + 1 if consumed is not None else 0
+    return engine.process_batch(
+        batch_df, int(epoch_id), st,
+        # clamp lo: a file straddling the consumed boundary (partial
+        # redelivery) still EXTENDS the range contiguously — the LSN fence
+        # no-ops its already-applied prefix
+        seq_range=(max(min(s["lo"] for s in process), start),
+                   max(s["hi"] for s in process)),
+    )
 
 
 def start_stream(
@@ -56,22 +147,7 @@ def start_stream(
     )
 
     def apply_batch(df, epoch_id: int):
-        from pyspark.sql import functions as F
-
-        # foreachBatch hands a DataFrame bound to a CLONED SparkSession;
-        # re-root the engine on it so every DataFrame the batch touches
-        # (pending reads, dispo frames, target scans, the MERGE write)
-        # lives on ONE session. Mixing the clone with the original session
-        # deadlocks observed metrics (the write runs on one session's
-        # listener bus, the observation waits on the other's) and leaves
-        # conf divergence between plan fragments.
-        engine.spark = df.sparkSession
-        st = engine._load_state()
-        rng = df.agg(F.min("seq"), F.max("seq")).collect()[0]
-        if rng[0] is None:
-            return
-        engine.process_batch(df, int(epoch_id), st,
-                             seq_range=(int(rng[0]), int(rng[1])))
+        ingest_frames_batch(engine, df, int(epoch_id))
 
     writer = (
         reader.writeStream.foreachBatch(apply_batch)

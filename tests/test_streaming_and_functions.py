@@ -256,6 +256,63 @@ def test_out_of_order_batch_raises(spark, tmp_path):
     eng.process_batch(mid, 3, st, seq_range=(6, 9))
 
 
+def test_out_of_order_file_delivery_held_and_released(spark, tmp_path):
+    """Regression for the round-1/2 exactly-once flake (root cause).
+
+    Spark's file source occasionally delivered frame files out of mtime
+    order: a first batch of {file0, file2} applied file2's commits and
+    advanced the LSN fence to the final commit, so when file1 arrived in
+    the next batch its transactions were fenced off as "duplicates" —
+    silently losing txns 4-7 (the exact suite_h2 failure signature:
+    applied_lsn jumped to the last commit's end LSN, open_xid=1008 dangling,
+    pending=4, batch 1 applying nothing). ``ingest_frames_batch`` must HOLD
+    the post-gap file and release it once the gap fills, reproducing the
+    golden state regardless of delivery order."""
+    from pg_walstream_spark.streaming import ingest_frames_batch
+
+    base, b = wg.gen_mixed_dml(n_base=60, n_txns=8, ops_per_txn=6)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=30)
+    files = sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir) if f.endswith(".parquet")
+    )
+    assert len(files) == 3
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bases = {"repos": base.slice(0, 30), "repos_full": base.slice(30)}
+    for n, t in bases.items():
+        p = os.path.join(str(tmp_path), f"{n}.parquet")
+        wg.write_base(t, p)
+        eng.bootstrap_table(n, spark.read.parquet(p), ["repo", "path"], 8)
+
+    # adversarial delivery order: {f0, f2} then {f1}
+    ingest_frames_batch(eng, spark.read.parquet(files[0], files[2]), 0)
+    st = eng._load_state()
+    assert len(st["held_frames"]) == 1, st  # f2 held behind the gap
+    assert st["max_seq"] == 29, st  # only f0 consumed
+    ingest_frames_batch(eng, spark.read.parquet(files[1]), 1)
+    st = eng._load_state()
+    assert st["held_frames"] == [], st  # gap filled, f2 released
+    assert st["max_seq"] == frames.num_rows - 1, st
+    assert int(st.get("reorder_events", 0)) >= 1, st
+    # redelivery of an already-consumed file is a no-op
+    ingest_frames_batch(eng, spark.read.parquet(files[1]), 2)
+
+    for tname in ("repos", "repos_full"):
+        golden_rows, glsn = golden_final_state(bases, frames, tname)
+        lake = eng.table(tname)
+        got = sorted(
+            (r["repo"], r["path"], r["content"])
+            for r in lake.read(spark).collect()
+        )
+        want = sorted((r["repo"], r["path"], r["content"])
+                      for r in golden_rows)
+        assert got == want, tname
+        assert lake.applied_lsn() == glsn, tname
+
+
 def test_frame_files_have_increasing_mtimes(tmp_path):
     """The frame pump must stamp strictly increasing mtimes so the
     streaming file source lists files in WAL order."""

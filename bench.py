@@ -210,33 +210,39 @@ def main():
     t_total = time.monotonic()
     frames, base_p, n_events = ensure_fixture()
 
-    # interleaved best-of-2 per level: samples this shared box's noise at
-    # different times instead of crediting it all to one level
+    # Both N→4N core pairs measured and published (1→4 AND 2→8), so the
+    # choice of basis is visible rather than doing the work. Interleaved
+    # best-of-3 per level: samples this shared box's noise at different
+    # times instead of crediting it all to one level.
     t_small, dn_s, ddt_s = run_replay(N_SMALL, frames, base_p, n_events)
     t_big, dn_b, ddt_b = run_replay(N_BIG, frames, base_p, n_events)
-    t_small2, _, _ = run_replay(N_SMALL, frames, base_p, n_events,
-                                with_decode=False)
-    t_big2, _, _ = run_replay(N_BIG, frames, base_p, n_events,
-                              with_decode=False)
-    t_small3, _, _ = run_replay(N_SMALL, frames, base_p, n_events,
-                                with_decode=False)
-    t_big3, _, _ = run_replay(N_BIG, frames, base_p, n_events,
-                              with_decode=False)
-    t_small = min(t_small, t_small2, t_small3)
-    t_big = min(t_big, t_big2, t_big3)
+    levels = sorted({N_SMALL, N_BIG, 2 * N_SMALL, 8 * N_SMALL})
+    times = {N_SMALL: [t_small], N_BIG: [t_big]}
+    for _ in range(2):
+        for lvl in levels:
+            t, _, _ = run_replay(lvl, frames, base_p, n_events,
+                                 with_decode=False)
+            times.setdefault(lvl, []).append(t)
+    # levels not covered by the first decode-warm pass get a 3rd plain run
+    for lvl in levels:
+        if len(times[lvl]) < 3:
+            t, _, _ = run_replay(lvl, frames, base_p, n_events,
+                                 with_decode=False)
+            times[lvl].append(t)
+    best = {lvl: min(ts) for lvl, ts in times.items()}
+    t_small = best[N_SMALL]
+    t_big = best[N_BIG]
     # reference-comparison point: the Rust baseline ran on an 8-vCPU host
-    # (best-of-2 like the scaling pair — single shots swing ±30% here)
-    if N_BIG != 8:
+    t_eight = best.get(8)
+    if t_eight is None:
         t_eight, _, _ = run_replay(8, frames, base_p, n_events,
                                    with_decode=False)
-        t_eight2, _, _ = run_replay(8, frames, base_p, n_events,
-                                    with_decode=False)
-        t_eight = min(t_eight, t_eight2)
-    else:
-        t_eight = t_big
     thr_small = n_events / t_small
     thr_big = n_events / t_big
     efficiency = (thr_big / thr_small) / (N_BIG / N_SMALL)
+    eff_2_8 = None
+    if 2 * N_SMALL in best and 8 * N_SMALL in best:
+        eff_2_8 = (best[2 * N_SMALL] / best[8 * N_SMALL]) / 4
     dthr_small = dn_s / ddt_s
     dthr_big = dn_b / ddt_b
     defficiency = (dthr_big / dthr_small) / (N_BIG / N_SMALL)
@@ -252,8 +258,8 @@ def main():
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     queries = {
-        f"cdc_replay_local{N_SMALL}": round(t_small, 3),
-        f"cdc_replay_local{N_BIG}": round(t_big, 3),
+        **{f"cdc_replay_local{lvl}": round(best[lvl], 3)
+           for lvl in sorted(best)},
         "cdc_replay_local8": round(t_eight, 3),
         **qtimes,
     }
@@ -272,6 +278,12 @@ def main():
             "events_per_sec_n": round(thr_small, 1),
             "events_per_sec_4n": round(thr_big, 1),
             "scaling_efficiency": round(efficiency, 3),
+            "scaling_efficiency_2_8": (
+                round(eff_2_8, 3) if eff_2_8 is not None else None
+            ),
+            "seconds_by_cores": {
+                str(lvl): round(t, 3) for lvl, t in sorted(best.items())
+            },
             "decode_events_per_sec_n": round(dthr_small, 1),
             "decode_events_per_sec_4n": round(dthr_big, 1),
             "decode_scaling_efficiency": round(defficiency, 3),
@@ -286,10 +298,11 @@ def main():
             "Pipeline: WAL frames → vectorized decode → txn gating → "
             "compaction → LSN-fenced MERGE (committed lake state).\n\n"
             f"| cores | seconds | events/sec |\n|---|---|---|\n"
-            f"| local[{N_SMALL}] | {t_small:.1f} | {thr_small:,.0f} |\n"
-            f"| local[{N_BIG}] | {t_big:.1f} | {thr_big:,.0f} |\n"
-            f"| local[8] (reference point) | {t_eight:.1f} | "
-            f"{n_events / t_eight:,.0f} |\n\n"
+            + "".join(
+                f"| local[{lvl}] | {t:.1f} | {n_events / t:,.0f} |\n"
+                for lvl, t in sorted(best.items())
+            )
+            + "\n"
             "Decode-only (apples-to-apples with the reference's "
             "parse-and-deliver loop):\n\n"
             f"| cores | events/sec |\n|---|---|\n"
@@ -310,9 +323,15 @@ def main():
             "cannot remove this — pipeline efficiency measured across\n"
             "round-2 runs spans 0.63-0.80 (decode-only 0.97-1.08).\n\n"
             f"DML events replayed: {n_events:,}\n\n"
-            f"**Scaling efficiency (N={N_SMALL} → 4N={N_BIG}): "
+            f"**Scaling efficiency (stated pair N={N_SMALL} → 4N={N_BIG}): "
             f"{efficiency:.2f}** (north-rule target ≥ 0.8)\n\n"
-            f"Reference single-node ceiling: ~177k-209k events/s "
+            + (
+                f"Scaling efficiency on the {2 * N_SMALL} → {8 * N_SMALL} "
+                f"pair (published alongside so the basis choice is "
+                f"visible, not doing the work): {eff_2_8:.2f}\n\n"
+                if eff_2_8 is not None else ""
+            )
+            + f"Reference single-node ceiling: ~177k-209k events/s "
             f"(BASELINE.md).\n\n"
             f"Analytics query times at sf{sf} on local[{CPUS}]: see latest "
             f"BENCH_r*.json.\n"

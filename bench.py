@@ -65,7 +65,9 @@ def make_session(cores: int, name: str):
         # 4x cores: standard cluster practice (2-5x total cores) — at 1x,
         # per-reducer working sets for the wide change rows overflow the
         # agg hash maps and the bucketed write serializes (measured: the
-        # 16-bucket MERGE write drops 4.7s -> 0.8s at 8 cores with 4x)
+        # 16-bucket MERGE write drops 4.7s -> 0.8s at 8 cores with 4x;
+        # round-3 re-check: 2x wins ~10% at <=4 cores but loses ~40% at 8,
+        # so 4x stays and the engine's 16m AQE advisory does the adapting)
         .config("spark.sql.shuffle.partitions", str(cores * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
@@ -122,10 +124,12 @@ def run_decode_only(spark, frames: str) -> tuple[int, float]:
     full decode pass."""
     from pyspark.sql import functions as F
 
+    from pg_walstream_spark.engine import tune_input_splits
     from pg_walstream_spark.operators.decode import (
         CONTROL_TAGS, build_context, decode_frames_df,
     )
 
+    tune_input_splits(spark, [frames])
     fdf = spark.read.parquet(frames)
     ctrl = [
         r.asDict()

@@ -51,6 +51,42 @@ _PG_TYPE_TO_SPARK = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
                      25: "string", 700: "float", 701: "double", 1043: "string",
                      1114: "timestamp", 1184: "timestamp"}
 
+def tune_input_splits(spark: SparkSession, paths) -> None:
+    """Size parquet input splits to the replay input so the decode scan
+    gets ~2 tasks per core.
+
+    Frame files are written a few MB each; Spark's default split packing
+    (maxPartitionBytes=128 MB, openCostInBytes=4 MB) bundles a whole
+    250 MB batch into ~4 splits, capping the decode stage at ~4 tasks
+    REGARDLESS of cores — the dominant scaling loss at small core counts.
+    Decode is CPU-bound per byte, so a couple of waves per core smooths
+    per-task decode skew without paying per-task fixed costs. No-op for
+    non-local paths (cluster deployments size this via submit conf)."""
+    import glob as _glob
+
+    total = 0
+    try:
+        for p in paths:
+            p = p[7:] if p.startswith("file://") else p
+            if os.path.isdir(p):
+                for f in _glob.glob(os.path.join(p, "*.parquet")):
+                    total += os.path.getsize(f)
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+    except OSError:
+        return
+    if not total:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    # ~2 waves per core (sweep: 2-3 tasks/core is the sweet spot at this
+    # kernel's per-task fixed cost; one-task-per-file fragments into ~50 ms
+    # scheduling+Arrow-setup overhead per task and regresses ~40%)
+    tgt = max(8 << 20, min(128 << 20, total // max(cores * 2, 1)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    spark.conf.set("spark.sql.files.openCostInBytes",
+                   str(min(1 << 20, tgt // 4)))
+
+
 DML_TYPES = ("insert", "update", "delete")
 # everything the apply path consumes: DML plus truncate — truncates of a
 # still-open transaction must survive a micro-batch boundary in the pending
@@ -80,10 +116,24 @@ class ReplayEngine:
                           None) in (None, "10000"):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                            "20000")
+        # smaller AQE target partitions keep the compaction/merge shuffle at
+        # ~per-core parallelism for micro-batch-sized inputs (the default
+        # 64 MB advisory coalesces a ~150 MB change set to 2-3 partitions,
+        # serializing the join+write on small executors); measured -20% on
+        # the flagship replay at 4 cores
+        if spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+        ) in (None, "64MB", "67108864", "67108864b"):
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
+            )
         self.tables_dir = os.path.join(warehouse, "tables")
         self.state_path = os.path.join(warehouse, "engine_state.json")
         self.pending_dir = os.path.join(warehouse, "pending")
         os.makedirs(self.tables_dir, exist_ok=True)
+
+    def _tune_input_splits(self, paths) -> None:
+        tune_input_splits(self.spark, paths)
 
     # ------------------------------------------------------------------ state
 
@@ -198,6 +248,7 @@ class ReplayEngine:
         fixtures/wal_gen.write_frames), the per-batch control scan reads it
         instead of re-scanning the full WAL payload column — the control
         channel is a few thousand tiny rows per million frames."""
+        self._tune_input_splits([frames_path])
         all_frames = self.spark.read.parquet(frames_path)
         ctrl_path = frames_path.rstrip("/") + "_control"
         control_table = None

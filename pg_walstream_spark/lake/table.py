@@ -38,6 +38,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.compact import _qi, _qs
+
 
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -399,21 +401,28 @@ class LakeTable:
         # unmatchable null-key row (e.g. a wire-text key that failed the
         # cast to the lake key type). Quarantine them — counted in the
         # lineage record — instead of letting them into the join.
-        null_key = None
-        for k in key_cols:
-            t = F.col(k).isNull()
-            null_key = t if null_key is None else (null_key | t)
+        # SQL-string expressions throughout the merge plan build: the
+        # Column-object equivalents cost hundreds of py4j round trips
+        # (~0.5-1 s of driver time per batch), a core-count-independent
+        # serial tail on the micro-batch path
+        null_key = "(" + " OR ".join(
+            f"{_qi(k)} IS NULL" for k in key_cols
+        ) + ")"
         obs = Observation()
         changes = changes.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets)
         ).observe(
             obs,
-            F.count(F.when((F.col("_op") == "upsert") & ~null_key, 1))
-            .alias("u"),
-            F.count(F.when((F.col("_op") == "delete") & ~null_key, 1))
-            .alias("d"),
-            F.count(F.when(null_key, 1)).alias("nk"),
-        ).filter(~null_key)
+            F.expr(
+                f"count(CASE WHEN _op = 'upsert' AND NOT {null_key} "
+                "THEN 1 END)"
+            ).alias("u"),
+            F.expr(
+                f"count(CASE WHEN _op = 'delete' AND NOT {null_key} "
+                "THEN 1 END)"
+            ).alias("d"),
+            F.expr(f"count(CASE WHEN {null_key} THEN 1 END)").alias("nk"),
+        ).filter(f"NOT {null_key}")
 
         if truncate_first:
             affected = list(range(n_buckets))
@@ -458,35 +467,32 @@ class LakeTable:
         # (coalesce(k,'')+isnull(k)) defeat exchange reuse — the join would
         # re-shuffle the change set the compaction aggregate just hash
         # partitioned by these exact columns
-        cond = [F.col(f"t.{k}") == F.col(f"c.{k}") for k in key_cols]
+        cond = F.expr(
+            " AND ".join(f"t.{_qi(k)} = c.{_qi(k)}" for k in key_cols)
+        )
         j = t.join(c, cond, "full_outer")
-        untouched = F.col("c._op").isNull()
+        untouched = "c._op IS NULL"
         sel = [
-            F.coalesce(F.col(f"c.{k}"), F.col(f"t.{k}")).alias(k)
+            f"coalesce(c.{_qi(k)}, t.{_qi(k)}) AS {_qi(k)}"
             for k in key_cols
         ]
         for cn in data_cols:
             if cn in key_cols:
                 continue
+            q = _qi(cn)
             sel.append(
-                F.when(untouched, F.col(f"t.{cn}"))
-                .when(
-                    F.array_contains(
-                        F.coalesce(F.col("c._toast"), F.array()), cn
-                    ),
-                    F.col(f"t.{cn}"),
-                )
-                .otherwise(F.col(f"c.{cn}"))
-                .alias(cn)
+                f"CASE WHEN {untouched} THEN t.{q} "
+                f"WHEN array_contains(coalesce(c._toast, array()), "
+                f"{_qs(cn)}) THEN t.{q} "
+                f"ELSE c.{q} END AS {q}"
             )
-        sel.append(
-            F.coalesce(F.col("c._bucket"), F.col("t._bucket")).alias("_bucket")
-        )
+        sel.append("coalesce(c._bucket, t._bucket) AS _bucket")
         obs_out = Observation()
         new_data = j.filter(
-            untouched | (F.col("c._op") == "upsert")
-        ).select(*sel).observe(obs_out, F.count(F.lit(1)).alias("no"))
+            f"({untouched}) OR c._op = 'upsert'"
+        ).selectExpr(*sel).observe(obs_out, F.count(F.lit(1)).alias("no"))
 
+        _mark("plan_build_ms")  # driver-side: expression/plan construction
         new_files = self._write_buckets(new_data, snap["version"] + 1)
         cstats = obs.get
         n_target = (

@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame, functions as F
 ORD = ("commit_lsn", "seq")  # total order: commit order, then WAL order
 
 
+def _qi(name: str) -> str:
+    """Quote a SQL identifier (backticks, doubled inside)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qs(s: str) -> str:
+    """Quote a SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def dml_images(events: DataFrame, key_columns: list[str],
                data_columns: list[tuple[str, str]],
                aliases: dict[str, list[str]] | None = None,
@@ -46,94 +56,98 @@ def dml_images(events: DataFrame, key_columns: list[str],
     aliases = aliases or {}
     key_types = key_types or {}
 
-    def _ma(map_col: str, name: str):
-        alts = [name] + list(aliases.get(name, []))
-        if len(alts) == 1:
-            out = F.element_at(map_col, name)
-        else:
-            out = F.coalesce(*[F.element_at(map_col, a) for a in alts])
-        ty = key_types.get(name)
-        return out.cast(ty) if ty else out
+    # every projection is built as ONE selectExpr/filter SQL string: the
+    # Column-object equivalent costs hundreds of py4j round trips and was
+    # ~0.8 s of pure DRIVER time per micro-batch — a core-count-independent
+    # serial tail that capped pipeline scaling efficiency
 
-    is_del = F.col("event_type") == "delete"
+    def _ma(map_col: str, name: str) -> str:
+        alts = [name] + list(aliases.get(name, []))
+        gets = [f"element_at({map_col}, {_qs(a)})" for a in alts]
+        out = gets[0] if len(gets) == 1 else f"coalesce({', '.join(gets)})"
+        ty = key_types.get(name)
+        return f"CAST({out} AS {ty})" if ty else out
+
+    is_del = "event_type = 'delete'"
     key_exprs = [
-        F.when(is_del, _ma("old_data", k)).otherwise(_ma("new_data", k))
-        .alias(k)
+        f"CASE WHEN {is_del} THEN {_ma('old_data', k)} "
+        f"ELSE {_ma('new_data', k)} END AS {_qi(k)}"
         for k in key_columns
     ]
     val_exprs = []
     for c, ty in data_columns:
-        val_exprs.append(_ma("new_data", c).cast(ty).alias(c))
-        toast_any = None
-        for a in [c] + list(aliases.get(c, [])):
-            t_ = F.coalesce(
-                F.array_contains(F.coalesce("new_toast", F.array()), a),
-                F.lit(False),
-            )
-            toast_any = t_ if toast_any is None else (toast_any | t_)
-        val_exprs.append(toast_any.alias(f"_t_{c}"))
-    base = events.select(
-        F.col("commit_lsn"),
-        F.col("seq"),
-        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("_op"),
+        val_exprs.append(
+            f"CAST({_ma('new_data', c)} AS {ty}) AS {_qi(c)}"
+        )
+        flags = [
+            "coalesce(array_contains(coalesce(new_toast, array()), "
+            f"{_qs(a)}), false)"
+            for a in [c] + list(aliases.get(c, []))
+        ]
+        val_exprs.append(
+            f"({' OR '.join(flags)}) AS {_qi('_t_' + c)}"
+        )
+    base = events.selectExpr(
+        "commit_lsn",
+        "seq",
+        f"CASE WHEN {is_del} THEN 'delete' ELSE 'upsert' END AS _op",
         *key_exprs,
         *val_exprs,
     )
 
     # key-changing updates → synthetic delete of the old key (ordered just
     # before the new image within the same (commit_lsn, seq) slot)
-    upd = events.filter(
-        (F.col("event_type") == "update") & F.col("old_data").isNotNull()
+    neqs = " OR ".join(
+        f"({_ma('old_data', k)} != {_ma('new_data', k)})"
+        for k in key_columns
     )
-    changed = upd
-    cond = None
-    for k in key_columns:
-        neq = _ma("old_data", k) != _ma("new_data", k)
-        cond = neq if cond is None else (cond | neq)
-    if cond is not None:
-        changed = upd.filter(cond & _ma("old_data", key_columns[0]).isNotNull())
-        extra = changed.select(
-            F.col("commit_lsn"),
-            F.col("seq"),
-            F.lit("delete").alias("_op"),
-            *[_ma("old_data", k).alias(k) for k in key_columns],
-            *[e for c, ty in data_columns for e in (
-                F.lit(None).cast(ty).alias(c), F.lit(False).alias(f"_t_{c}")
-            )],
-        )
-        base = base.unionByName(extra)
-    return base
+    changed = events.filter(
+        "event_type = 'update' AND old_data IS NOT NULL "
+        f"AND ({neqs}) AND {_ma('old_data', key_columns[0])} IS NOT NULL"
+    )
+    extra = changed.selectExpr(
+        "commit_lsn",
+        "seq",
+        "'delete' AS _op",
+        *[f"{_ma('old_data', k)} AS {_qi(k)}" for k in key_columns],
+        *[e for c, ty in data_columns for e in (
+            f"CAST(NULL AS {ty}) AS {_qi(c)}",
+            f"false AS {_qi('_t_' + c)}",
+        )],
+    )
+    return base.unionByName(extra)
 
 
 def compact_last_image(images: DataFrame, key_columns: list[str],
                        data_columns: list[tuple[str, str]]) -> DataFrame:
     """One row per key: last op wins; each column takes the latest non-toast
-    value; columns never materialized in-batch surface in ``_toast``."""
-    ord_struct = F.struct(*[F.col(c) for c in ORD])
-    aggs = [F.max_by("_op", ord_struct).alias("_op")]
+    value; columns never materialized in-batch surface in ``_toast``.
+
+    Built from SQL-string expressions (one py4j call per agg, one for the
+    final projection) — see the plan-build note in ``dml_images``."""
+    ord_s = f"struct({', '.join(ORD)})"
+    aggs = [F.expr(f"max_by(_op, {ord_s})").alias("_op")]
     for c, _ in data_columns:
+        tc, qc = _qi("_t_" + c), _qi(c)
         aggs.append(
-            F.max(
-                F.when(
-                    (F.col("_op") == "upsert") & ~F.col(f"_t_{c}"),
-                    F.struct(*[F.col(o) for o in ORD], F.col(c).alias("v")),
-                )
+            F.expr(
+                f"max(CASE WHEN _op = 'upsert' AND NOT {tc} THEN "
+                f"named_struct('commit_lsn', commit_lsn, 'seq', seq, "
+                f"'v', {qc}) END)"
             ).alias(f"_last_{c}")
         )
     out = images.groupBy(*key_columns).agg(*aggs)
-    sel = [*key_columns, "_op"]
+    sel = [*[_qi(k) for k in key_columns], "_op"]
     for c, _ in data_columns:
-        sel.append(F.col(f"_last_{c}.v").alias(c))
-    toast = F.array_compact(
-        F.array(*[
-            F.when(
-                (F.col("_op") == "upsert") & F.col(f"_last_{c}").isNull(),
-                F.lit(c),
-            )
-            for c, _ in data_columns
-        ])
-    ).alias("_toast")
-    return out.select(*sel, toast)
+        sel.append(f"{_qi('_last_' + c)}.v AS {_qi(c)}")
+    cases = ", ".join(
+        f"CASE WHEN _op = 'upsert' AND {_qi('_last_' + c)} IS NULL "
+        f"THEN {_qs(c)} END"
+        for c, _ in data_columns
+    )
+    return out.selectExpr(
+        *sel, f"array_compact(array({cases})) AS _toast"
+    )
 
 
 def compact_salted(images: DataFrame, key_columns: list[str],

@@ -106,6 +106,7 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
         engine._save_state(st)
         return None
     paths = [s["path"] for s in process]
+    engine._tune_input_splits(paths)
     if set(paths) == known and not held:
         batch_df = df  # common in-order case: reuse the source's batch
     else:

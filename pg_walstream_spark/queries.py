@@ -561,7 +561,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-NGRAM_JACCARD_SQL = _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS) + """,
+_JACCARD_EST_MIN = -(-_MINHASH_K * 50 // 100)  # ceil(k·(0.65−0.15))
+
+NGRAM_JACCARD_SQL = _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS) + f""",
+cand_est AS (
+  -- signature-estimate prefilter, mirrored from the Spark operator:
+  -- candidates whose minhash component-match count estimates J well
+  -- below the threshold skip the exact intersection
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_filter([{", ".join(
+      f"sa.h{i} = sb.h{i}" for i in range(_MINHASH_K))}],
+      x -> x)) >= {_JACCARD_EST_MIN}),
 sets AS (
   SELECT doc_id AS id,
          list_distinct([substr(lower(text), x, 3)
@@ -572,7 +584,7 @@ scored AS (
   SELECT id_a, id_b,
          len(list_intersect(a.shs, b.shs)) AS i,
          len(a.shs) AS sza, len(b.shs) AS szb
-  FROM cand JOIN sets a ON a.id = id_a JOIN sets b ON b.id = id_b)
+  FROM cand_est JOIN sets a ON a.id = id_a JOIN sets b ON b.id = id_b)
 SELECT id_a, id_b,
        round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
 FROM scored

@@ -247,8 +247,12 @@ def main():
     def _paired_eff(lo_lvl, hi_lvl):
         lo, hi = times.get(lo_lvl, []), times.get(hi_lvl, [])
         pairs = [a / (4 * b) for a, b in zip(lo, hi)]
-        return (round(max(pairs), 3), [round(p, 3) for p in pairs]) \
-            if pairs else (None, [])
+        # a paired efficiency > 1 is physically impossible (4x cores can't
+        # beat 4x speedup) — it means a noise burst hit one side of the
+        # pair; such pairs are corrupted measurements, not evidence
+        valid = [p for p in pairs if p <= 1.0]
+        return (round(max(valid), 3) if valid else None,
+                [round(p, 3) for p in pairs])
 
     thr_small = n_events / t_small
     thr_big = n_events / t_big

@@ -87,6 +87,23 @@ def tune_input_splits(spark: SparkSession, paths) -> None:
                    str(min(1 << 20, tgt // 4)))
 
 
+# Engine state is re-read/rewritten every batch: an unbounded per-batch
+# metrics list would make the state file itself a serial cost at 10^6
+# batches. Keep the last N rows; older ones roll into aggregate counters.
+METRICS_CAP = int(os.environ.get("WALSTREAM_METRICS_CAP", "200"))
+
+
+def _append_metrics(st: dict, rec: dict) -> None:
+    ml = st.setdefault("metrics", [])
+    ml.append({k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
+                                   "quarantined")})
+    tot = st.setdefault("metrics_rollup", {"batches": 0, "quarantined": 0})
+    while len(ml) > METRICS_CAP:
+        old = ml.pop(0)
+        tot["batches"] += 1
+        tot["quarantined"] += int(old.get("quarantined") or 0)
+
+
 DML_TYPES = ("insert", "update", "delete")
 # everything the apply path consumes: DML plus truncate — truncates of a
 # still-open transaction must survive a micro-batch boundary in the pending
@@ -177,6 +194,13 @@ class ReplayEngine:
                     rec.get("wall_ms"), bool(rec.get("skipped")), "merge",
                 ))
         st = self._load_state()
+        tot = st.get("metrics_rollup")
+        if tot and tot.get("batches"):
+            rows.append((
+                None, None, None, None, None, None, None, None,
+                f"metrics_rollup batches={tot['batches']} "
+                f"quarantined={tot['quarantined']}",
+            ))
         for m in st.get("metrics", []):
             rows.append((
                 None, f"b{m['batch_idx']}", m.get("applied_lsn"),
@@ -211,31 +235,108 @@ class ReplayEngine:
         )
 
     # ---------------------------------------------------------------- pending
+    #
+    # Append-delta pending store (round 4). The round-3 store rewrote the
+    # FULL pending set to parquet every batch — with many long-open
+    # transactions the rewrite grows with pending volume, a per-batch
+    # driver-serial tail at exactly the scale the north rule measures
+    # (reference analog: the consumer's per-xid buffer grows incrementally,
+    # examples/safe-transaction-consumer/src/main.rs:50-60). Now each batch
+    # appends ONE delta holding only its newly-pending rows; resolved xids
+    # are tombstoned in a driver-side meta file and masked at read, deltas
+    # whose xids are all resolved are deleted outright, and the store is
+    # compacted (one filtered rewrite) only when the delta count exceeds
+    # PENDING_COMPACT_DELTAS — so per-batch spill cost tracks NEW pending
+    # volume, not total open-transaction volume.
 
-    def _pending_path(self) -> str:
-        return os.path.join(self.pending_dir, "events")
+    PENDING_COMPACT_DELTAS = 8
 
-    def _load_pending(self) -> DataFrame | None:
-        p = self._pending_path()
-        if os.path.exists(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ):
-            return self.spark.read.schema(EVENT_SPARK_DDL).parquet(p)
+    def _pending_meta_path(self) -> str:
+        return os.path.join(self.pending_dir, "meta.json")
+
+    def _pending_meta(self) -> dict | None:
+        p = self._pending_meta_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
         return None
 
-    def _save_pending(self, df: DataFrame | None) -> None:
-        p = self._pending_path()
-        tmp = p + ".new"
-        if df is not None:
-            df.write.mode("overwrite").parquet(tmp)
-            import shutil
-            if os.path.exists(p):
-                shutil.rmtree(p)
-            os.replace(tmp, p)
-        else:
-            import shutil
-            if os.path.exists(p):
-                shutil.rmtree(p)
+    def _load_pending(self) -> DataFrame | None:
+        meta = self._pending_meta()
+        if not meta or not meta["order"]:
+            return None
+        paths = [os.path.join(self.pending_dir, d) for d in meta["order"]]
+        df = self.spark.read.schema(EVENT_SPARK_DDL).parquet(*paths)
+        dead = [int(x) for x in meta.get("dead_xids", [])]
+        if dead:
+            # rows of already-resolved xids still physically present in
+            # partially-live deltas — applied (or discarded) in an earlier
+            # batch; masked here until their delta is dropped or compacted
+            df = df.filter(~F.col("xid").isin(dead))
+        return df
+
+    def _pending_clear(self) -> None:
+        import shutil
+
+        if os.path.exists(self.pending_dir):
+            shutil.rmtree(self.pending_dir)
+
+    def _pending_append(self, new_df: DataFrame | None, new_xids: set[int],
+                        resolved_xids: set[int], batch_idx: int) -> None:
+        import shutil
+
+        meta = self._pending_meta() or {
+            "order": [], "deltas": {}, "dead_xids": [],
+        }
+        name = f"delta_b{batch_idx}"
+        # bounded-replay stop → the batch reprocesses on resume: replace
+        # this batch's delta instead of appending a duplicate
+        if name in meta["deltas"]:
+            shutil.rmtree(os.path.join(self.pending_dir, name),
+                          ignore_errors=True)
+            meta["order"].remove(name)
+            del meta["deltas"][name]
+        # tombstone resolved xids; drop deltas with no live xid left
+        dead = {int(x) for x in meta["dead_xids"]} | {
+            int(x) for x in resolved_xids
+        }
+        keep = []
+        for d in meta["order"]:
+            if set(meta["deltas"][d]) <= dead:
+                shutil.rmtree(os.path.join(self.pending_dir, d),
+                              ignore_errors=True)
+                del meta["deltas"][d]
+            else:
+                keep.append(d)
+        meta["order"] = keep
+        if new_df is not None and new_xids:
+            new_df.write.mode("overwrite").parquet(
+                os.path.join(self.pending_dir, name)
+            )
+            meta["order"].append(name)
+            meta["deltas"][name] = sorted(int(x) for x in new_xids)
+        live = {int(x) for d in meta["order"] for x in meta["deltas"][d]}
+        # keep only tombstones that still mask physical rows
+        meta["dead_xids"] = sorted(dead & live)
+        if len(meta["order"]) > self.PENDING_COMPACT_DELTAS:
+            # amortized compaction: one filtered rewrite replaces all deltas
+            paths = [os.path.join(self.pending_dir, d)
+                     for d in meta["order"]]
+            df = self.spark.read.schema(EVENT_SPARK_DDL).parquet(*paths)
+            if meta["dead_xids"]:
+                df = df.filter(~F.col("xid").isin(meta["dead_xids"]))
+            cname = f"compact_b{batch_idx}"
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.pending_dir, cname)
+            )
+            for d in meta["order"]:
+                shutil.rmtree(os.path.join(self.pending_dir, d),
+                              ignore_errors=True)
+            meta = {"order": [cname],
+                    "deltas": {cname: sorted(live - dead)},
+                    "dead_xids": []}
+        os.makedirs(self.pending_dir, exist_ok=True)
+        _atomic_write(self._pending_meta_path(), json.dumps(meta))
 
     # ----------------------------------------------------------------- replay
 
@@ -381,8 +482,13 @@ class ReplayEngine:
 
         # 2. vectorized decode (narrow); materialized ONCE — every downstream
         # consumer (committed set, pending spill, quarantine count, truncate
-        # scan) reads the checkpointed result instead of re-running the kernel
-        events = decode_frames_df(frames, ctx)
+        # scan) reads the checkpointed result instead of re-running the
+        # kernel. ``_carried`` marks rows re-read from the pending store so
+        # the spill step appends only THIS batch's newly-pending rows
+        # (append-delta store — see _pending_append).
+        events = decode_frames_df(frames, ctx).withColumn(
+            "_carried", F.lit(False)
+        )
 
         # 3. pending resolution: re-stamp prior open/prepared events with this
         # batch's dispositions
@@ -390,7 +496,8 @@ class ReplayEngine:
         if pending is not None:
             resolution = self._dispo_df(ctx)
             pending = (
-                pending.drop("txn_status", "commit_lsn", "end_lsn", "commit_ts_us")
+                pending.withColumn("_carried", F.lit(True))
+                .drop("txn_status", "commit_lsn", "end_lsn", "commit_ts_us")
                 .join(F.broadcast(resolution), on="xid", how="left")
                 .withColumn("txn_status", F.coalesce("txn_status", F.lit("open")))
                 .select(*events.columns)
@@ -447,175 +554,213 @@ class ReplayEngine:
         else:
             events = events.persist()
             released = events
-        m = events.agg(
-            F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
-            F.count(
-                F.when(
-                    is_apply & F.col("txn_status").isin(["open", "prepared"]),
-                    1,
-                )
-            ).alias("pend"),
-            F.count(
-                F.when(
-                    is_dml & (F.col("txn_status") == "committed"), 1
-                )
-            ).alias("n_committed"),
-            F.max(
-                F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
-            ).alias("hi_commit"),
-            F.count(
-                F.when(
-                    (F.col("event_type") == "truncate")
-                    & (F.col("txn_status") == "committed"),
-                    1,
-                )
-            ).alias("trunc"),
-            F.collect_set(
-                F.when(
-                    is_dml & (F.col("txn_status") == "committed"),
-                    F.col("table_name"),
-                )
-            ).alias("tables"),
-        ).collect()[0]
-        _mark("decode_ckpt")
+        # any mid-batch failure (exactly what the retry taxonomy
+        # re-enters on) must release the events cache, or each retry
+        # attempt would persist a fresh copy and accumulate executor
+        # cache pressure across attempts
+        try:
+            m = events.agg(
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
+                F.count(
+                    F.when(
+                        is_apply & F.col("txn_status").isin(["open", "prepared"]),
+                        1,
+                    )
+                ).alias("pend"),
+                F.count(
+                    F.when(
+                        is_apply
+                        & F.col("txn_status").isin(["open", "prepared"])
+                        & ~F.col("_carried"),
+                        1,
+                    )
+                ).alias("pend_new"),
+                F.collect_set(
+                    F.when(
+                        is_apply
+                        & F.col("txn_status").isin(["open", "prepared"])
+                        & ~F.col("_carried"),
+                        F.col("xid"),
+                    )
+                ).alias("pend_new_xids"),
+                F.count(
+                    F.when(
+                        is_dml & (F.col("txn_status") == "committed"), 1
+                    )
+                ).alias("n_committed"),
+                F.max(
+                    F.when(F.col("txn_status") == "committed", F.col("end_lsn"))
+                ).alias("hi_commit"),
+                F.count(
+                    F.when(
+                        (F.col("event_type") == "truncate")
+                        & (F.col("txn_status") == "committed"),
+                        1,
+                    )
+                ).alias("trunc"),
+                F.collect_set(
+                    F.when(
+                        is_dml & (F.col("txn_status") == "committed"),
+                        F.col("table_name"),
+                    )
+                ).alias("tables"),
+            ).collect()[0]
+            _mark("decode_ckpt")
 
-        quarantined = int(m["quar"])
-        n_pending = int(m["pend"])
-        n_committed = int(m["n_committed"])
-        hi_commit = m["hi_commit"]
-        has_trunc = int(m["trunc"]) > 0
-        tables = sorted(t for t in (m["tables"] or []) if t is not None)
+            quarantined = int(m["quar"])
+            n_pending = int(m["pend"])
+            n_pending_new = int(m["pend_new"])
+            pend_new_xids = {
+                int(x) for x in (m["pend_new_xids"] or []) if x is not None
+            }
+            n_committed = int(m["n_committed"])
+            hi_commit = m["hi_commit"]
+            has_trunc = int(m["trunc"]) > 0
+            tables = sorted(t for t in (m["tables"] or []) if t is not None)
 
-        dml = events.filter(is_dml)
-        committed = dml.filter(F.col("txn_status") == "committed")
+            dml = events.filter(is_dml)
+            committed = dml.filter(F.col("txn_status") == "committed")
 
-        # bounded replay: apply only transactions whose commit end_lsn is at
-        # or before the crossing commit (commit-boundary rule)
-        effective_stop = None
-        if stop_at_lsn is not None:
-            crossing = (
-                events.filter(
-                    (F.col("txn_status") == "committed")
-                    & F.col("end_lsn").isNotNull()
-                    & (F.col("end_lsn") >= stop_at_lsn)
+            # bounded replay: apply only transactions whose commit end_lsn is at
+            # or before the crossing commit (commit-boundary rule)
+            effective_stop = None
+            if stop_at_lsn is not None:
+                crossing = (
+                    events.filter(
+                        (F.col("txn_status") == "committed")
+                        & F.col("end_lsn").isNotNull()
+                        & (F.col("end_lsn") >= stop_at_lsn)
+                    )
+                    .agg(F.min("end_lsn"))
+                    .collect()[0][0]
                 )
-                .agg(F.min("end_lsn"))
-                .collect()[0][0]
+                if crossing is not None:
+                    effective_stop = int(crossing)
+                    committed = committed.filter(F.col("end_lsn") <= effective_stop)
+                    tables = sorted(
+                        r["table_name"]
+                        for r in committed.select("table_name").distinct().collect()
+                    )
+            _mark("batch_stats")
+
+            # next-batch pending delta: ONLY rows newly pending from this
+            # batch's frames (carried rows already live in the store); spills
+            # every apply-relevant type (DML + truncate) so open-txn truncates
+            # survive batch boundaries
+            nxt = events.filter(
+                is_apply
+                & F.col("txn_status").isin(["open", "prepared"])
+                & ~F.col("_carried")
+            ).drop("_carried")
+
+            # 4. schema evolution before merge
+            for change in ctx.schema_changes:
+                self._apply_schema_change(change)
+
+            # 5+6. per-table compaction + fenced merge. Every table merged this
+            # batch is fenced at the batch's global committed high-water mark —
+            # the engine applies batches in sequence against one global fence
+            # floor, so per-table fences only need to be monotonic with it, and
+            # the global hi makes duplicate-batch skips exact for all tables.
+            fence_floor = int(st.get("applied_lsn", 0))
+            batch_applied = fence_floor
+            merged = []
+            truncates = (
+                self._committed_truncates(events, effective_stop, fence_floor)
+                if has_trunc
+                else {}
             )
-            if crossing is not None:
-                effective_stop = int(crossing)
-                committed = committed.filter(F.col("end_lsn") <= effective_stop)
-                tables = sorted(
-                    r["table_name"]
-                    for r in committed.select("table_name").distinct().collect()
-                )
-        _mark("batch_stats")
-
-        # next-batch pending reads the cached events, safe to rewrite the
-        # pending dir afterwards; spills every apply-relevant type
-        # (DML + truncate) so open-txn truncates survive batch boundaries
-        nxt = events.filter(
-            is_apply & F.col("txn_status").isin(["open", "prepared"])
-        )
-
-        # 4. schema evolution before merge
-        for change in ctx.schema_changes:
-            self._apply_schema_change(change)
-
-        # 5+6. per-table compaction + fenced merge. Every table merged this
-        # batch is fenced at the batch's global committed high-water mark —
-        # the engine applies batches in sequence against one global fence
-        # floor, so per-table fences only need to be monotonic with it, and
-        # the global hi makes duplicate-batch skips exact for all tables.
-        fence_floor = int(st.get("applied_lsn", 0))
-        batch_applied = fence_floor
-        merged = []
-        truncates = (
-            self._committed_truncates(events, effective_stop, fence_floor)
-            if has_trunc
-            else {}
-        )
-        batch_hi = (
-            effective_stop if effective_stop is not None
-            else (int(hi_commit) if hi_commit is not None else None)
-        )
-        _mark("plan_tables")
-        merge_list = sorted(set(tables) | set(truncates))
-
-        def _one(tname):
-            return self._merge_table(
-                tname, committed, truncates.get(tname), batch_idx,
-                fence_floor, ctx, batch_hi, n_committed=n_committed,
+            batch_hi = (
+                effective_stop if effective_stop is not None
+                else (int(hi_commit) if hi_commit is not None else None)
             )
+            _mark("plan_tables")
+            merge_list = sorted(set(tables) | set(truncates))
 
-        if len(merge_list) > 1:
-            # per-table merges are independent (distinct table dirs,
-            # distinct snapshot logs) — run them as concurrent driver
-            # threads so their Spark jobs interleave instead of serializing
-            # one table's write behind another's
-            from concurrent.futures import ThreadPoolExecutor
+            def _one(tname):
+                return self._merge_table(
+                    tname, committed, truncates.get(tname), batch_idx,
+                    fence_floor, ctx, batch_hi, n_committed=n_committed,
+                )
 
-            with ThreadPoolExecutor(min(len(merge_list), 8)) as pool:
-                recs = list(pool.map(_one, merge_list))
-        else:
-            recs = [_one(t) for t in merge_list]
-        for rec in recs:
-            if rec:
-                merged.append(rec)
-                batch_applied = max(batch_applied, rec["applied_lsn"])
+            if len(merge_list) > 1:
+                # per-table merges are independent (distinct table dirs,
+                # distinct snapshot logs) — run them as concurrent driver
+                # threads so their Spark jobs interleave instead of serializing
+                # one table's write behind another's
+                from concurrent.futures import ThreadPoolExecutor
 
-        # max applied lsn this batch (even for tables with no DML)
-        if batch_hi is not None:
-            batch_applied = max(batch_applied, int(batch_hi))
+                with ThreadPoolExecutor(min(len(merge_list), 8)) as pool:
+                    recs = list(pool.map(_one, merge_list))
+            else:
+                recs = [_one(t) for t in merge_list]
+            for rec in recs:
+                if rec:
+                    merged.append(rec)
+                    batch_applied = max(batch_applied, rec["applied_lsn"])
 
-        _mark("merges")
+            # max applied lsn this batch (even for tables with no DML)
+            if batch_hi is not None:
+                batch_applied = max(batch_applied, int(batch_hi))
 
-        # 7. carry-over: open + prepared events spill to pending
-        self._save_pending(nxt if n_pending else None)
-        _mark("pending_spill")
+            _mark("merges")
 
-        # 8. persist engine state (atomic). A bounded-replay stop leaves the
-        # batch NOT fully applied — keep the cursor on it so a later resume
-        # reprocesses it (the LSN fence makes that idempotent), exactly the
-        # reference's restart-from-confirmed-LSN contract.
-        st["batch_idx"] = batch_idx + (0 if effective_stop is not None else 1)
-        st["catalog"] = {
-            str(oid): [list(v) for v in versions]
-            for oid, versions in ctx.catalog.items()
-        }
-        st["open_xid"] = getattr(ctx, "open_xid_carry", None)
-        st["open_stream_xid"] = getattr(ctx, "open_stream_carry", None)
-        # sub-abort markers must outlive the batch while their top-level
-        # txns are still pending; once nothing is pending they are spent
-        st["aborted_subxids"] = (
-            [int(x) for x in getattr(ctx, "aborted_subxids", [])]
-            if n_pending else []
-        )
-        # origin marks of still-unresolved foreign txns survive the batch
-        st["origin_xids"] = sorted(
-            int(x) for x in getattr(ctx, "origin_carry", ())
-        )
-        st["applied_lsn"] = batch_applied
-        if seq_range is not None:
-            st["max_seq"] = max(int(st.get("max_seq") or -1), int(seq_range[1]))
-        rec = {
-            "batch_idx": batch_idx,
-            "applied_lsn": batch_applied,
-            "tables": merged,
-            "pending": n_pending,
-            "quarantined": quarantined,
-            "schema_changes": len(ctx.schema_changes),
-            "stopped": effective_stop is not None,
-            "phase_ms": phase_t,
-        }
-        st.setdefault("metrics", []).append(
-            {k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
-                                 "quarantined")}
-        )
-        self._save_state(st)
-        if released is not None:
-            released.unpersist()
-        return rec
+            # 7. carry-over: newly-pending rows append one delta; resolved xids
+            # tombstone; store cleared outright once nothing is pending
+            if n_pending:
+                names = ("open", "committed", "aborted", "prepared")
+                resolved = {
+                    int(x) for x, i in zip(ctx.xid_sorted, ctx.xid_status)
+                    if names[i] in ("committed", "aborted")
+                }
+                self._pending_append(
+                    nxt if n_pending_new else None, pend_new_xids,
+                    resolved, batch_idx,
+                )
+            else:
+                self._pending_clear()
+            _mark("pending_spill")
+
+            # 8. persist engine state (atomic). A bounded-replay stop leaves the
+            # batch NOT fully applied — keep the cursor on it so a later resume
+            # reprocesses it (the LSN fence makes that idempotent), exactly the
+            # reference's restart-from-confirmed-LSN contract.
+            st["batch_idx"] = batch_idx + (0 if effective_stop is not None else 1)
+            st["catalog"] = {
+                str(oid): [list(v) for v in versions]
+                for oid, versions in ctx.catalog.items()
+            }
+            st["open_xid"] = getattr(ctx, "open_xid_carry", None)
+            st["open_stream_xid"] = getattr(ctx, "open_stream_carry", None)
+            # sub-abort markers must outlive the batch while their top-level
+            # txns are still pending; once nothing is pending they are spent
+            st["aborted_subxids"] = (
+                [int(x) for x in getattr(ctx, "aborted_subxids", [])]
+                if n_pending else []
+            )
+            # origin marks of still-unresolved foreign txns survive the batch
+            st["origin_xids"] = sorted(
+                int(x) for x in getattr(ctx, "origin_carry", ())
+            )
+            st["applied_lsn"] = batch_applied
+            if seq_range is not None:
+                st["max_seq"] = max(int(st.get("max_seq") or -1), int(seq_range[1]))
+            rec = {
+                "batch_idx": batch_idx,
+                "applied_lsn": batch_applied,
+                "tables": merged,
+                "pending": n_pending,
+                "quarantined": quarantined,
+                "schema_changes": len(ctx.schema_changes),
+                "stopped": effective_stop is not None,
+                "phase_ms": phase_t,
+            }
+            _append_metrics(st, rec)
+            self._save_state(st)
+            return rec
+        finally:
+            if released is not None:
+                released.unpersist()
 
     # ---------------------------------------------------------------- helpers
 

@@ -48,6 +48,40 @@ def _atomic_write(path: str, payload: str) -> None:
     os.replace(tmp, path)
 
 
+# Snapshots are re-read and rewritten on EVERY merge, so an unbounded
+# lineage log would make commit cost grow with table age (at 10^6 batches
+# the snapshot itself becomes a per-batch serial cost). Keep the last N
+# records verbatim and roll older ones into one aggregate summary row.
+LINEAGE_CAP = int(os.environ.get("WALSTREAM_LINEAGE_CAP", "256"))
+
+
+def _append_lineage(lineage: list[dict], record: dict,
+                    cap: int | None = None) -> list[dict]:
+    """Append ``record``, rolling overflow into a ``lineage_rollup`` head
+    row that accumulates counters (merges, upserts, deletes, wall time)."""
+    cap = LINEAGE_CAP if cap is None else cap
+    if lineage and lineage[0].get("event") == "lineage_rollup":
+        rollup, rest = dict(lineage[0]), list(lineage[1:])
+    else:
+        rollup, rest = {"event": "lineage_rollup", "n_rolled": 0,
+                        "merges": 0, "upserts": 0, "deletes": 0,
+                        "wall_ms": 0, "skipped": 0, "other_events": 0}, \
+                       list(lineage)
+    rest.append(record)
+    while len(rest) > cap:
+        old = rest.pop(0)
+        rollup["n_rolled"] += 1
+        if old.get("event"):
+            rollup["other_events"] += 1
+        else:
+            rollup["merges"] += 1
+            rollup["upserts"] += int(old.get("upserts") or 0)
+            rollup["deletes"] += int(old.get("deletes") or 0)
+            rollup["wall_ms"] += int(old.get("wall_ms") or 0)
+            rollup["skipped"] += 1 if old.get("skipped") else 0
+    return ([rollup] if rollup["n_rolled"] else []) + rest
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = root
@@ -146,9 +180,10 @@ class LakeTable:
         if since:
             snap["column_since"] = since
         snap["schema"] = snap["schema"] + added
-        snap["lineage"] = snap["lineage"] + [
-            {"event": "add_columns", "columns": added, "lsn": lsn}
-        ]
+        snap["lineage"] = _append_lineage(
+            snap["lineage"],
+            {"event": "add_columns", "columns": added, "lsn": lsn},
+        )
         self._commit(snap)
 
     def rename_column(self, old: str, new: str, lsn: int | None = None) -> None:
@@ -171,9 +206,10 @@ class LakeTable:
             new if k == old else k for k in snap["key_columns"]
         ]
         snap["aliases"] = aliases
-        snap["lineage"] = snap["lineage"] + [
-            {"event": "rename_column", "from": old, "to": new, "lsn": lsn}
-        ]
+        snap["lineage"] = _append_lineage(
+            snap["lineage"],
+            {"event": "rename_column", "from": old, "to": new, "lsn": lsn},
+        )
         self._commit(snap)
 
     def drop_columns(self, cols: list[str], lsn: int | None = None) -> None:
@@ -200,9 +236,10 @@ class LakeTable:
             ghost.add(c)
             ghost.update(pre_aliases.get(c, []))
         snap["dropped_names"] = sorted(ghost)
-        snap["lineage"] = snap["lineage"] + [
-            {"event": "drop_columns", "columns": dropped, "lsn": lsn}
-        ]
+        snap["lineage"] = _append_lineage(
+            snap["lineage"],
+            {"event": "drop_columns", "columns": dropped, "lsn": lsn},
+        )
         self._commit(snap)
 
     def promote_column(self, name: str, new_type: str,
@@ -216,10 +253,11 @@ class LakeTable:
         snap["schema"] = [
             [n, new_type if n == name else ty] for n, ty in snap["schema"]
         ]
-        snap["lineage"] = snap["lineage"] + [
+        snap["lineage"] = _append_lineage(
+            snap["lineage"],
             {"event": "promote_column", "column": name, "type": new_type,
-             "lsn": lsn}
-        ]
+             "lsn": lsn},
+        )
         self._commit(snap)
 
     def log_event(self, event: dict) -> None:
@@ -227,7 +265,7 @@ class LakeTable:
         schema-evolution notice) as its own snapshot commit."""
         snap = self.snapshot()
         snap["version"] += 1
-        snap["lineage"] = snap["lineage"] + [event]
+        snap["lineage"] = _append_lineage(snap["lineage"], event)
         self._commit(snap)
 
     # ------------------------------------------------------------------ read
@@ -563,7 +601,7 @@ class LakeTable:
                 "applied_lsn": int(applied_lsn),
                 **(extra_properties or {}),
             },
-            "lineage": snap["lineage"] + [record],
+            "lineage": _append_lineage(snap["lineage"], record),
         }
         self._commit(snap2)
         return record

@@ -96,7 +96,12 @@ def dml_images(events: DataFrame, key_columns: list[str],
     )
 
     # key-changing updates → synthetic delete of the old key (ordered just
-    # before the new image within the same (commit_lsn, seq) slot)
+    # before the new image within the same (commit_lsn, seq) slot). A
+    # keyless table (replica identity over zero columns) has no key to
+    # change — the branch would otherwise build an unparsable empty filter
+    # and index key_columns[0]
+    if not key_columns:
+        return base
     neqs = " OR ".join(
         f"({_ma('old_data', k)} != {_ma('new_data', k)})"
         for k in key_columns

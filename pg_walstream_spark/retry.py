@@ -72,6 +72,24 @@ _TRANSIENT_MARKERS = (
 _PERMANENT_MARKERS = ("analysisexception", "protocolerror", "parseexception")
 
 
+def _root_text(exc: BaseException) -> str:
+    """Root-cause classification text: exception class + FIRST message line
+    only. Py4JJavaError stringifies with the whole Java stack trace
+    embedded — matching markers against that would misclassify a genuinely
+    permanent failure as transient just because some frame in the trace
+    mentions a shuffle/timeout, burning the full backoff budget before
+    surfacing. Use the Java exception's class + message when present."""
+    je = getattr(exc, "java_exception", None)
+    if je is not None:
+        try:
+            msg = (je.getMessage() or "").splitlines()
+            return f"{je.getClass().getName()}: {msg[0] if msg else ''}"
+        except Exception:  # noqa: BLE001 — gateway may be gone; fall through
+            pass
+    s = str(exc).splitlines()
+    return f"{type(exc).__name__}: {s[0] if s else ''}"
+
+
 def classify_error(exc: BaseException) -> str:
     """'transient' | 'permanent' (the reference's is_transient/is_permanent
     split; unknowns are permanent — only enumerated failures retry)."""
@@ -81,7 +99,7 @@ def classify_error(exc: BaseException) -> str:
         return "permanent"
     if isinstance(exc, _TRANSIENT_TYPES):
         return "transient"
-    text = f"{type(exc).__name__}: {exc}".lower()
+    text = _root_text(exc).lower()
     if any(m in text for m in _PERMANENT_MARKERS):
         return "permanent"
     if any(m in text for m in _TRANSIENT_MARKERS):

@@ -22,6 +22,8 @@ segment's transactions as "duplicates" when they finally arrived.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import ReplayEngine
@@ -114,13 +116,47 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
             *paths
         )
     start = int(consumed) + 1 if consumed is not None else 0
-    return engine.process_batch(
-        batch_df, int(epoch_id), st,
-        # clamp lo: a file straddling the consumed boundary (partial
-        # redelivery) still EXTENDS the range contiguously — the LSN fence
-        # no-ops its already-applied prefix
-        seq_range=(max(min(s["lo"] for s in process), start),
-                   max(s["hi"] for s in process)),
+    lo = max(min(s["lo"] for s in process), start)
+    hi = max(s["hi"] for s in process)
+
+    # control sidecar: if the frame pump wrote a ``<frames>_control`` dir
+    # (fixtures/wal_gen.write_frames), read the batch's control rows with
+    # pyarrow on the driver — skipping the per-batch Spark control-scan
+    # job, the same core-count-independent serial tail the bounded replay
+    # already avoids
+    control_rows = None
+    ctrl_dir = os.path.dirname(
+        paths[0][7:] if paths[0].startswith("file://") else paths[0]
+    ).rstrip("/") + "_control"
+    if os.path.isdir(ctrl_dir):
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(ctrl_dir, columns=["seq", "wal_start", "data"])
+        control_rows = tbl.filter(
+            _pc.and_(_pc.greater_equal(tbl.column("seq"), min(
+                s["lo"] for s in process)),
+                _pc.less_equal(tbl.column("seq"), hi))
+        ).sort_by("seq").to_pylist()
+
+    # a transient failure inside foreachBatch (FS hiccup, executor loss)
+    # retries the batch in place under the taxonomy's backoff budget —
+    # Spark's query restart would also recover, but at whole-restart cost
+    # (the reference retries inside the consume loop for the same reason,
+    # /root/reference/src/stream.rs:957-1044); the LSN fence makes the
+    # partial re-application idempotent
+    from .retry import retry_call
+
+    return retry_call(
+        lambda: engine.process_batch(
+            batch_df, int(epoch_id), st,
+            # clamp lo: a file straddling the consumed boundary (partial
+            # redelivery) still EXTENDS the range contiguously — the LSN
+            # fence no-ops its already-applied prefix
+            seq_range=(lo, hi),
+            control_rows=control_rows,
+        ),
+        engine.retry_config,
     )
 
 

@@ -181,8 +181,16 @@ def decode_events(payload_df):
 
     def fn(batches):
         for batch in batches:
-            rows = [decode_row(bytes(p.as_py())) for p in
-                    batch.column("payload") if p.is_valid]
+            col = batch.column("payload")
+            if col.null_count:
+                # a corrupted upstream stage producing null payloads must
+                # surface loudly, not silently shrink the event set — the
+                # codec's other validation (version byte, trailing bytes)
+                # is loud for the same reason
+                raise ValueError(
+                    f"{col.null_count} null transport payload(s) in batch"
+                )
+            rows = [decode_row(bytes(p.as_py())) for p in col]
             tbl = pa.Table.from_pylist(rows, schema=EVENT_ARROW_SCHEMA)
             for rb in tbl.to_batches():
                 yield rb

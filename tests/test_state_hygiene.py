@@ -1,0 +1,121 @@
+"""Round-4 state hygiene: append-delta pending store + bounded state growth.
+
+engine_state.json and lake snapshots are re-read/rewritten EVERY batch, so
+both must stay O(1) in batch count (at 10^6 batches an unbounded metrics or
+lineage log becomes a per-batch driver-serial cost — exactly the tail the
+north rule's scaling-efficiency target measures). The pending store likewise
+must append per-batch deltas instead of rewriting the full pending set
+(reference analog: the consumer's per-xid buffer grows incrementally,
+examples/safe-transaction-consumer/src/main.rs:50-60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pg_walstream_spark.engine import (
+    METRICS_CAP,
+    ReplayEngine,
+    _append_metrics,
+)
+from pg_walstream_spark.fixtures import wal_gen as wg
+from pg_walstream_spark.golden import golden_final_state
+from pg_walstream_spark.lake.table import LINEAGE_CAP, _append_lineage
+
+
+def _replay_with_meta_trace(spark, tmp_path, base, frames, batch_frames):
+    """Replay while snapshotting the pending-store meta after each batch."""
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    metas = []
+
+    class Spy(ReplayEngine):
+        def _save_state(self, st):
+            metas.append(self._pending_meta())
+            super()._save_state(st)
+
+    eng = Spy(spark, os.path.join(str(tmp_path), "wh"))
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    eng.replay_frames(fd, batch_frames=batch_frames)
+    return eng, metas
+
+
+def _assert_golden(spark, eng, base, frames):
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    lake = eng.table("repos")
+    got = sorted(
+        (r["repo"], r["path"], r["content"])
+        for r in lake.read(spark).collect()
+    )
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert lake.applied_lsn() == glsn
+
+
+def test_pending_store_append_delta_lifecycle(spark, tmp_path):
+    """Txns split by micro-batch boundaries spill ONE delta per batch;
+    deltas whose xids resolve are dropped promptly; the store clears
+    entirely once nothing is pending — and the final state still matches
+    the sequential golden applier."""
+    base, b = wg.gen_basic(n_base=40, n_txns=6, ops_per_txn=12)
+    frames = b.to_table()
+    eng, metas = _replay_with_meta_trace(spark, tmp_path, base, frames,
+                                         batch_frames=10)
+    live = [m for m in metas if m and m["order"]]
+    assert live, "no batch carried pending deltas — fixture too coarse"
+    # txns resolve within a batch or two of opening, so resolved deltas
+    # must be dropped instead of accumulating
+    assert max(len(m["order"]) for m in live) <= 3, live
+    assert eng._pending_meta() is None  # store cleared at drain
+    assert not os.path.exists(eng.pending_dir)
+    _assert_golden(spark, eng, base, frames)
+
+
+def test_pending_store_compacts_past_delta_cap(spark, tmp_path):
+    """A transaction held open across many micro-batches appends one delta
+    per batch; past PENDING_COMPACT_DELTAS the store compacts into a single
+    filtered delta instead of growing without bound."""
+    base, b = wg.gen_basic(n_base=30, n_txns=2, ops_per_txn=120)
+    frames = b.to_table()
+    eng, metas = _replay_with_meta_trace(spark, tmp_path, base, frames,
+                                         batch_frames=12)
+    live = [m for m in metas if m and m["order"]]
+    assert any(
+        d.startswith("compact_") for m in live for d in m["order"]
+    ), "delta cap never triggered compaction"
+    cap = ReplayEngine.PENDING_COMPACT_DELTAS
+    assert max(len(m["order"]) for m in live) <= cap + 1
+    assert eng._pending_meta() is None
+    _assert_golden(spark, eng, base, frames)
+
+
+def test_metrics_and_lineage_bounded_at_1000_batches():
+    """1,000 batches: the engine metrics list and a lake lineage log stay
+    capped, with rolled-up aggregate counters preserving the totals."""
+    st: dict = {}
+    for i in range(1000):
+        _append_metrics(st, {"batch_idx": i, "applied_lsn": i * 10,
+                             "pending": 0, "quarantined": i % 3})
+    assert len(st["metrics"]) == METRICS_CAP
+    assert st["metrics_rollup"]["batches"] == 1000 - METRICS_CAP
+    kept_q = sum(m["quarantined"] for m in st["metrics"])
+    assert st["metrics_rollup"]["quarantined"] + kept_q == sum(
+        i % 3 for i in range(1000)
+    )
+    assert len(json.dumps(st)) < 64_000  # bounded regardless of batch count
+
+    lin: list = []
+    for i in range(1000):
+        lin = _append_lineage(lin, {"batch_id": f"b{i}", "applied_lsn": i,
+                                    "upserts": 5, "deletes": 1,
+                                    "wall_ms": 7, "skipped": False})
+    assert len(lin) == LINEAGE_CAP + 1  # rollup head + last N records
+    roll = lin[0]
+    assert roll["event"] == "lineage_rollup"
+    assert roll["merges"] == 1000 - LINEAGE_CAP
+    assert roll["upserts"] == 5 * (1000 - LINEAGE_CAP)
+    assert lin[-1]["batch_id"] == "b999"
+    assert len(json.dumps(lin)) < 128_000

@@ -313,6 +313,50 @@ def test_out_of_order_file_delivery_held_and_released(spark, tmp_path):
         assert lake.applied_lsn() == glsn, tname
 
 
+def test_streaming_batch_transient_failure_retries_in_place(spark, tmp_path):
+    """A transient failure inside a streamed micro-batch retries under the
+    retry taxonomy's backoff budget instead of failing the query — Spark's
+    query restart would also recover, but at whole-restart cost (the
+    reference retries inside the consume loop for the same reason,
+    /root/reference/src/stream.rs:957-1044). The LSN fence makes the
+    partial re-application idempotent, so the retried batch must land the
+    exact golden state."""
+    from pg_walstream_spark.retry import RetryConfig
+    from pg_walstream_spark.streaming import ingest_frames_batch
+
+    base, b = wg.gen_basic(n_base=30, n_txns=4, ops_per_txn=4)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=frames.num_rows)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh, retry_config=RetryConfig(
+        max_attempts=3, initial_delay_s=0.01, max_delay_s=0.02))
+    p = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, p)
+    eng.bootstrap_table("repos", spark.read.parquet(p), ["repo", "path"], 8)
+
+    real = ReplayEngine.process_batch
+    calls = {"n": 0}
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated transient FS hiccup")
+        return real(self, *a, **k)
+
+    eng.process_batch = flaky.__get__(eng)
+    rec = ingest_frames_batch(eng, spark.read.parquet(frames_dir), 0)
+    assert rec is not None
+    assert calls["n"] == 2  # failed once, recovered in place
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    lake = eng.table("repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in lake.read(spark).collect())
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert lake.applied_lsn() == glsn
+
+
 def test_frame_files_have_increasing_mtimes(tmp_path):
     """The frame pump must stamp strictly increasing mtimes so the
     streaming file source lists files in WAL order."""

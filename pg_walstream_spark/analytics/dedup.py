@@ -69,9 +69,11 @@ def _eager_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
         n = out.count()
         if n > _DRIVER_RESULT_CAP:
             return out
-        pdf = out.toPandas()
+        # Arrow-native collect/rebuild: one driver hop (Arrow batches),
+        # not two (Arrow → pandas → Arrow) as the round-3 toPandas path
+        tbl = out.toArrow()
         out.unpersist()
-        return spark.createDataFrame(pdf, schema=result.schema)
+        return spark.createDataFrame(tbl, schema=result.schema)
     finally:
         for p in pinned:
             p.unpersist()
@@ -406,47 +408,60 @@ def simhash_pieces(docs: DataFrame, n_pieces: int = 4, piece_bits: int = 16,
 def _simhash_band_candidates(sig: DataFrame, n_pieces: int = 4,
                              piece_bits: int = 16,
                              id_col: str = "doc_id") -> DataFrame:
-    """Two-level pigeonhole banding over piece signatures → candidate pairs
-    with FULL recall for hamming ≤ n_pieces - 1.
+    """Six-group triple-banding over the 64-bit signature → candidate pairs
+    with FULL recall for hamming ≤ 3, at 20 exploded rows per doc.
 
     Single-piece banding (key = one 16-bit piece) collapses at corpus
-    scale: ~n²/2¹⁶ collisions per piece. Instead, observe that for ≤ 3
-    errors over 4 pieces, some piece p carries 0 errors AND some other
-    piece q carries ≤ 1 (if the three non-exact pieces all had ≥ 2, the
-    total would be ≥ 6). So band on the 32-bit key (p, q, P_p, P_q'):
-    one side emits its exact (P_p, P_q) per ordered piece pair, the other
-    emits P_q plus all single-bit flips (query expansion, 1 + piece_bits
-    variants). A true pair at hamming ≤ 3 always collides on some key;
-    random collisions need 32 agreeing bits (×17 expansion) —
-    ~17·n²/2³² candidates instead of ~4·n²/2¹⁶."""
-    pair_keys = []  # exact side: one key per ordered (p, q)
-    probe_keys = []  # expanded side: 1 + piece_bits variants per (p, q)
-    pq = 0
-    for p in range(n_pieces):
-        for q in range(n_pieces):
-            if p == q:
-                continue
-            base_key = (
-                (F.lit(pq) * F.lit(1 << (2 * piece_bits)))
-                + F.col(f"p{p}") * F.lit(1 << piece_bits)
-            )
-            pair_keys.append(base_key + F.col(f"p{q}"))
-            probe_keys.append(base_key + F.col(f"p{q}"))
-            for b in range(piece_bits):
-                probe_keys.append(
-                    base_key + F.col(f"p{q}").bitwiseXOR(F.lit(1 << b))
-                )
-            pq += 1
-    exact = sig.select(
-        F.col(id_col).alias("id_a"),
-        F.explode(F.array(*pair_keys)).alias("bk"),
-    )
-    probes = sig.select(
-        F.col(id_col).alias("id_b"),
-        F.explode(F.array(*probe_keys)).alias("bk"),
-    )
+    scale (~n²/2¹⁶ collisions per piece). Round 3 fixed that with a
+    two-level probe-expansion scheme (32-bit keys, ~17·n²/2³²
+    candidates) — scale-correct but locally expensive: 12 exact + 204
+    probe rows per doc. This round replaces it with a strictly cheaper
+    pure-pigeonhole decomposition: split the 64 bits into SIX groups
+    (12,12,12,12,8,8 bits). ≤ 3 bit errors touch ≤ 3 groups, so at least
+    3 groups are untouched and some TRIPLE of groups is error-free — band
+    on all C(6,3)=20 triple keys (group values packed with the triple
+    index into one ≤41-bit long) with an exact self-join, no probe
+    expansion. Random collisions need 28-36 agreeing bits per triple —
+    ~n²/2³⁰ total, the same corpus-scale regime as the probe scheme —
+    while the exploded volume drops 10× (20 vs 216 rows/doc) and both
+    join sides stay symmetric."""
+    if n_pieces * piece_bits != 64 or piece_bits < 16:
+        raise NotImplementedError(
+            "triple banding implemented for the 64-bit (4 x 16) signature"
+        )
+    # digit-group extraction from the 16-bit pieces (hash bit 4d..4d+3 =
+    # md5 hex digit d; piece p covers digits 4p..4p+3): groups g0..g5
+    # cover digits [0-2][3-5][6-8][9-11][12-13][14-15]
+    groups = [
+        F.col("p0").bitwiseAND(F.lit(0xFFF)),
+        F.shiftright(F.col("p0"), 12)
+        + F.col("p1").bitwiseAND(F.lit(0xFF)) * F.lit(16),
+        F.shiftright(F.col("p1"), 8)
+        + F.col("p2").bitwiseAND(F.lit(0xF)) * F.lit(256),
+        F.shiftright(F.col("p2"), 4),
+        F.col("p3").bitwiseAND(F.lit(0xFF)),
+        F.shiftright(F.col("p3"), 8),
+    ]
+    from itertools import combinations
+
+    keys = [
+        (
+            F.lit(t * (1 << 36))
+            + groups[a] * F.lit(1 << 24)
+            + groups[b] * F.lit(1 << 12)
+            + groups[c]
+        ).cast("long")
+        for t, (a, b, c) in enumerate(combinations(range(6), 3))
+    ]
+
+    def _side(alias: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(alias),
+            F.explode(F.array(*keys)).alias("bk"),
+        )
+
     return (
-        exact.join(probes, on="bk")
+        _side("id_a").join(_side("id_b"), on="bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -458,11 +473,11 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs within hamming distance ``max_hamming`` of the 64-bit
-    simhash. Candidates via two-level pigeonhole banding on 32-bit
-    (piece-pair) keys — see _simhash_band_candidates; full recall holds
-    for max_hamming ≤ n_pieces - 1 (a 0-error piece exists, and the
-    remaining pieces cannot all carry ≥ 2 of the ≤ n_pieces - 1 errors).
-    Exact hamming distance over all pieces then verifies each candidate."""
+    simhash. Candidates via six-group triple banding (pure pigeonhole,
+    C(6,3)=20 exact keys per doc — see _simhash_band_candidates); full
+    recall holds for max_hamming ≤ 3 because ≤ 3 bit errors touch ≤ 3 of
+    the 6 groups, leaving an error-free triple. Exact hamming distance
+    over all pieces then verifies each candidate."""
     if max_hamming > n_pieces - 1:
         raise ValueError("full recall requires max_hamming <= n_pieces - 1")
     sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col)

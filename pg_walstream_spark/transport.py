@@ -20,16 +20,24 @@ in lockstep with the decode kernel's output columns:
                            and TOAST placeholders ride in these maps)
 
 Exposed as DataFrame transforms (mapInArrow): ``encode_events`` produces
-``(seq long, payload binary)``, ``decode_events`` inverts it. The per-row
-pack/unpack runs inside Arrow-batched python workers — this is a transport
-boundary (CPU-cheap vs the IO it feeds), the same per-event granularity
-the reference uses on its socket path.
+``(seq long, payload binary)``, ``decode_events`` inverts it.
+
+Two implementations share the format: ``encode_row``/``decode_row`` are the
+sequential reference (the property-test oracle), while the hot path packs
+and unpacks WHOLE Arrow batches with numpy offset assembly
+(``encode_batch``/``decode_batch`` — the same column-loop/row-vectorized
+technique as the decode kernel, operators/decode.py): per-field segment
+streams are built vectorized from the Arrow buffers, then one ragged
+gather interleaves them into payload bytes (and the reverse walks all rows
+per field with a vectorized position cursor). No per-row Python runs at
+any event count.
 """
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pyarrow as pa
 
 from .operators.decode import EVENT_SPARK_DDL

@@ -37,6 +37,53 @@ def test_roundtrip_property(row):
     assert decode_row(encode_row(row)) == row
 
 
+@given(st.lists(event_rows(), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_batch_codec_matches_row_codec(rows):
+    """The vectorized Arrow-batch codec is byte-identical to the sequential
+    row codec (encode) and an exact inverse (decode) — the same
+    differential-oracle strategy as the decode kernel's tests."""
+    import pyarrow as pa
+
+    from pg_walstream_spark.operators.decode import EVENT_ARROW_SCHEMA
+    from pg_walstream_spark.transport import decode_batch, encode_batch
+
+    tbl = pa.Table.from_pylist(rows, schema=EVENT_ARROW_SCHEMA)
+    batch = tbl.combine_chunks().to_batches()[0]
+    enc = encode_batch(batch)
+    normalized = batch.to_pylist()  # maps surface as (k, v) tuple lists
+    assert [enc[i].as_py() for i in range(len(rows))] == \
+        [encode_row(r) for r in normalized]
+    assert decode_batch(enc).to_pylist() == normalized
+    # sliced batches (nonzero Arrow offsets) take the same path
+    if len(rows) > 2:
+        sl = batch.slice(1, len(rows) - 2)
+        enc_sl = encode_batch(sl)
+        assert [enc_sl[i].as_py() for i in range(sl.num_rows)] == \
+            [encode_row(r) for r in sl.to_pylist()]
+
+
+def test_decode_batch_rejects_nulls_and_bad_version():
+    import pyarrow as pa
+    import pytest
+
+    from pg_walstream_spark.transport import decode_batch, encode_batch
+    from pg_walstream_spark.operators.decode import EVENT_ARROW_SCHEMA
+
+    row = {name: None for name, _ in FIELDS}
+    row["seq"] = 1
+    batch = pa.Table.from_pylist(
+        [row], schema=EVENT_ARROW_SCHEMA
+    ).combine_chunks().to_batches()[0]
+    good = encode_batch(batch)[0].as_py()
+    with pytest.raises(ValueError, match="null transport payload"):
+        decode_batch(pa.array([good, None], pa.binary()))
+    with pytest.raises(ValueError, match="codec version"):
+        decode_batch(pa.array([b"\x63" + good[1:]], pa.binary()))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_batch(pa.array([good + b"\x00"], pa.binary()))
+
+
 def test_roundtrip_fixture_events_e2e(spark, tmp_path):
     """Every event the decode kernel produces from a mixed fixture (DML with
     TOAST/null map values, truncates, streaming control, quarantine rows)

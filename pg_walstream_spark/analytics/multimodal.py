@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 with Arrow-batched feature extraction.
 
-Image/audio decode libraries are not available in this container, so the
-*decode* step is stubbed (``decode_image`` raises NotImplementedError unless
-a library is importable; ``byte_histogram_features`` is the deterministic
-fake used by tests/benchmarks). The Spark-side plumbing is real: binary
-column schema, metadata struct, mapInPandas batch shape, and partitioning
-all match what a production decode would use.
+The decode tier is REAL for two container formats — PPM (P6) and 24-bit
+uncompressed BMP decode in pure numpy (``decode_ppm``/``decode_bmp``,
+dispatched by ``decode_image`` on magic bytes), covering header parsing,
+BGR order, bottom-up rows and 4-byte row padding. Other formats (JPEG,
+PNG, …) fall back to PIL when importable; this container ships no image
+library, so they raise NotImplementedError. ``byte_histogram_features``
+remains the deterministic embed stand-in. The Spark-side plumbing — binary
+column schema, metadata struct, mapInPandas batch shape, partitioning —
+matches what a production decode would use.
 """
 
 from __future__ import annotations
@@ -51,18 +54,166 @@ def docs_as_media(docs: DataFrame, text_col: str = "text",
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
-    """Real decode path — guarded stub until an image library is present."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; not available in this "
-            "container — use byte_histogram_features for the plumbing path"
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) → binary PPM (P6, maxval 255)."""
+    h, w, c = arr.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → RGB uint8 array (H, W, 3). Pure numpy — handles
+    header comments and arbitrary header whitespace."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) → minimal 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up, BGR, rows padded to 4 bytes)."""
+    import struct
+
+    h, w, c = arr.shape
+    assert c == 3
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + \
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                    2835, 2835, 0, 0)
+    return header + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → RGB uint8 array (H, W, 3). Pure numpy —
+    handles bottom-up and top-down rows and 4-byte row padding."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an RGB uint8 array (H, W, 3).
+
+    PPM (P6) and 24-bit BMP decode natively in pure numpy; other formats
+    fall back to PIL when importable, else raise NotImplementedError with
+    the format sniffed from the magic bytes."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if _HAVE_PIL:  # pragma: no cover - container lacks PIL
+        import io
+
+        import PIL.Image
+
+        return np.asarray(
+            PIL.Image.open(io.BytesIO(payload)).convert("RGB")
         )
-    import io
+    raise NotImplementedError(
+        f"image decode for magic {payload[:4]!r} requires PIL/opencv; "
+        "only PPM (P6) and 24-bit BMP decode natively"
+    )
 
-    import PIL.Image
 
-    return PIL.Image.open(io.BytesIO(payload))
+def synth_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image table: per doc a small RGB image whose
+    pixel bytes follow the closed form p[i] = (doc_id + i) mod 256 over a
+    doc-dependent geometry, containerized alternately as PPM (even ids)
+    and BMP (odd ids). The closed form makes decoded-pixel statistics
+    SQL-computable, so the REAL decode path (container parse + pixel
+    recovery) is oracle-checkable end to end."""
+    from .. import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    src = docs.select(
+        F.col(id_col).alias("media_id"),
+        (F.lit(8) + F.col(id_col) % 5).cast("int").alias("width"),
+        (F.lit(6) + F.col(id_col) % 4).cast("int").alias("height"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["width"],
+                                 pdf["height"]):
+                px = ((int(mid) + np.arange(w * h * 3)) % 256).astype(
+                    np.uint8).reshape(h, w, 3)
+                payloads.append(
+                    encode_ppm(px) if mid % 2 == 0 else encode_bmp(px)
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+            })
+
+    return src.mapInPandas(fn, "media_id long, payload binary")
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode each image payload (PPM/BMP sniffed from magic bytes) and
+    emit geometry + exact per-channel pixel sums — integer outputs so the
+    DuckDB oracle can reproduce them bit-for-bit."""
+    from .. import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long",
+    )
 
 
 def _batch_histograms(payloads, n_bins: int):

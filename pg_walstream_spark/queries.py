@@ -996,6 +996,39 @@ FROM documents
 """
 
 
+def multimodal_image_decode(spark, sf_dir):
+    """REAL image decode path, oracle-checked end to end: per doc a small
+    RGB image with closed-form pixels p[i] = (doc_id + i) mod 256 is
+    containerized (PPM for even ids, 24-bit BMP for odd — padding, BGR
+    order and bottom-up rows exercised) and decoded back by the pure-numpy
+    decoder; the oracle reproduces the decoded geometry and per-channel
+    pixel sums analytically."""
+    media = mm.synth_images(_t(spark, sf_dir, "documents"))
+    return mm.image_decode_stats(media)
+
+
+MULTIMODAL_IMAGE_SQL = """
+WITH geo AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  -- 324 = max pixel bytes (w <= 12, h <= 9, 3 channels); range() takes no
+  -- lateral column args in DuckDB, so cross-join the max and filter
+  SELECT media_id, w, h, i,
+         (media_id + i) % 256 AS v
+  FROM geo CROSS JOIN range(0, 324) t(i)
+  WHERE i < w * h * 3)
+SELECT media_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC engine stages (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1093,6 +1126,9 @@ QUERIES = {
     ),
     "multimodal_byte_features_flat": (
         multimodal_byte_features_flat, MULTIMODAL_FLAT_SQL,
+    ),
+    "multimodal_image_decode": (
+        multimodal_image_decode, MULTIMODAL_IMAGE_SQL,
     ),
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL,

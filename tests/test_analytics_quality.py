@@ -247,3 +247,49 @@ def test_ivf_trained_centroids_quality(spark):
     s0 = mean_assign_sim(seeds)
     s1 = mean_assign_sim(trained)
     assert s1 > s0, f"training did not reduce distortion: {s0:.4f} -> {s1:.4f}"
+
+
+def test_image_codecs_roundtrip_exact():
+    """Pure-numpy PPM (P6) and 24-bit BMP codecs: pixel-exact roundtrip
+    across geometries that exercise BMP 4-byte row padding, BGR order and
+    bottom-up rows, plus PPM header comments and magic-byte dispatch."""
+    import numpy as np
+
+    from pg_walstream_spark.analytics.multimodal import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (3, 5), (6, 9), (7, 10), (4, 13)]:
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        # magic-byte dispatch picks the right decoder
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+    # PPM header comments + arbitrary whitespace
+    pay = b"P6\n# a comment\n5 3\n255\n" + bytes(range(45))
+    assert decode_ppm(pay).shape == (3, 5, 3)
+    # unknown container stays a LOUD NotImplementedError (no PIL here)
+    import pytest
+
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_image_decode_stats_matches_formula(spark):
+    """The registry's image-decode operator recovers the closed-form pixel
+    sums through REAL container encode→decode (PPM even ids, BMP odd)."""
+    import numpy as np
+
+    from pg_walstream_spark.analytics import multimodal as mm
+
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    out = mm.image_decode_stats(mm.synth_images(docs)).collect()
+    assert len(out) == 40
+    for r in sorted(out, key=lambda r: r["media_id"]):
+        mid, w, h = r["media_id"], r["width"], r["height"]
+        assert (w, h) == (8 + mid % 5, 6 + mid % 4)
+        px = (mid + np.arange(w * h * 3)) % 256
+        for ci, c in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert r[c] == int(px[ci::3].sum()), (mid, c)

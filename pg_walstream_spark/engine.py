@@ -552,7 +552,12 @@ class ReplayEngine:
         if mat_mode == "checkpoint":
             events = events.localCheckpoint()
         else:
-            events = events.persist()
+            if os.environ.get("WALSTREAM_CACHE_SER") == "1":
+                from pyspark import StorageLevel
+
+                events = events.persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                events = events.persist()
             released = events
         # any mid-batch failure (exactly what the retry taxonomy
         # re-enters on) must release the events cache, or each retry

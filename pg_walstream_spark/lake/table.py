@@ -362,11 +362,23 @@ class LakeTable:
                       F.lit(n_buckets)).cast("int")
 
     def _write_buckets(self, df_with_bucket: DataFrame, snapshot_version: int) -> dict:
-        """Write partitioned by _bucket; returns {bucket: [files]}."""
+        """Write partitioned by _bucket; returns {bucket: [files]}.
+
+        The pre-write ``repartition("_bucket")`` gives each task exactly one
+        bucket (one parquet writer, one output file per bucket) — measured
+        faster at ≥4 cores than direct dynamic-partition writes, where every
+        task juggles up to n_buckets open writers (round-4 interleaved A/B:
+        repartition wins ~8-12% at 4-8 cores, loses ~5% at 1). Its task
+        width equals n_buckets, which is NOT a cluster-scale cap because
+        n_buckets scales with the table (a 100-TB table carries thousands
+        of buckets). ``WALSTREAM_WRITE_REPART=0`` selects the direct write
+        for deployments preferring fewer shuffles over file hygiene."""
         out_dir = os.path.join(self.data_dir, f"s{snapshot_version}-{uuid.uuid4().hex[:8]}")
+        writer = df_with_bucket
+        if os.environ.get("WALSTREAM_WRITE_REPART", "1") == "1":
+            writer = writer.repartition("_bucket")
         (
-            df_with_bucket.repartition("_bucket")
-            .write.partitionBy("_bucket")
+            writer.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )

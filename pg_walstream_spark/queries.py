@@ -78,14 +78,18 @@ FROM events GROUP BY event_type
 
 def cdc_commit_gate(spark, sf_dir):
     """Bounded-replay gate: apply only events at or below the watermark
-    (60% of max id — the stop_at_lsn analog), at whole-key granularity."""
+    (60% of max id — the stop_at_lsn analog), at whole-key granularity.
+    The watermark rides as a scalar subquery inside the one job (a
+    separate driver collect() would serialize a second scan)."""
     ev = _t(spark, sf_dir, "events")
-    gate = ev.agg((F.max("event_id") * 0.6).cast("long")).collect()[0][0]
-    return (
-        ev.filter(F.col("event_id") <= gate)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_applied"),
-             F.max("event_id").alias("high_watermark"))
+    ev.createOrReplaceTempView("cdc_gate_events")
+    return spark.sql(
+        "SELECT event_type, count(*) AS n_applied, "
+        "       max(event_id) AS high_watermark "
+        "FROM cdc_gate_events "
+        "WHERE event_id <= (SELECT CAST(max(event_id) * 0.6 AS LONG) "
+        "                   FROM cdc_gate_events) "
+        "GROUP BY event_type"
     )
 
 

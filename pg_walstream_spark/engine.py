@@ -104,6 +104,19 @@ def _append_metrics(st: dict, rec: dict) -> None:
         tot["quarantined"] += int(old.get("quarantined") or 0)
 
 
+class _FastPathViolation(Exception):
+    """A speculative fast-path batch observed a shape it cannot handle
+    (pending txn rows, truncates, DML on an unexpected table); the merge
+    is aborted before commit and the general path re-processes the batch."""
+
+
+# Minimum estimated DML rows for the one-job speculative merge; below it
+# the general cached path (with its bucket-pruning planning job) is the
+# better plan anyway
+FASTPATH_MIN_DML = int(os.environ.get("WALSTREAM_FASTPATH_MIN_DML",
+                                      "50000"))
+
+
 DML_TYPES = ("insert", "update", "delete")
 # everything the apply path consumes: DML plus truncate — truncates of a
 # still-open transaction must survive a micro-batch boundary in the pending
@@ -402,6 +415,7 @@ class ReplayEngine:
                 lambda: self.process_batch(
                     batch, batch_idx, st, stop_at_lsn=stop_at_lsn,
                     control_rows=control_rows,
+                    est_frames=min(end, hi) - start + 1,
                 ),
                 self.retry_config,
                 on_retry=lambda attempt, delay, exc: retries.append(
@@ -418,12 +432,159 @@ class ReplayEngine:
         return {"batches": len(summary), "applied_lsn": st["applied_lsn"],
                 "records": summary}
 
+    # -------------------------------------------------- speculative fast path
+
+    def _process_batch_fast(self, frames: DataFrame, ctx, batch_idx: int,
+                            st: dict, tname: str, phase_t: dict, mark,
+                            seq_range) -> dict | None:
+        """ONE-job merge for a batch whose shape the control channel proves
+        simple: all transactions resolved (committed/aborted), nothing
+        carried or pending, one known table, no truncates/schema changes.
+
+        decode → committed-DML filter → compaction → MERGE run as a single
+        Spark action; quarantine/pending/truncate/foreign-table statistics
+        ride as Observations on the decode output and are verified in the
+        merge's pre-commit hook — a violated assumption discards the
+        written files and returns None so the general cached path
+        re-processes the batch (the untouched LSN fence keeps that
+        exactly-once). The general path's events-cache materialization job
+        (the single largest non-merge cost per batch) never runs."""
+        names = ("open", "committed", "aborted", "prepared")
+        hi_commit = max(
+            (int(el) for el, s in zip(ctx.xid_end_lsn, ctx.xid_status)
+             if names[int(s)] == "committed" and el is not None),
+            default=None,
+        )
+        fence_floor = int(st.get("applied_lsn", 0))
+        if hi_commit is None or hi_commit <= fence_floor:
+            # nothing new commits in this batch (all aborted, or an
+            # at-least-once redelivery): no merge job needed at all
+            rec = {
+                "batch_idx": batch_idx, "applied_lsn": fence_floor,
+                "tables": [], "pending": 0, "quarantined": 0,
+                "schema_changes": 0, "stopped": False, "fast_path": True,
+                "phase_ms": phase_t,
+            }
+            self._finish_fast(st, ctx, batch_idx, fence_floor, seq_range,
+                              rec)
+            return rec
+
+        events = decode_frames_df(frames, ctx)
+        if not self.options.messages:
+            events = events.filter(F.col("event_type") != "message")
+        if self.options.origin == "none" and getattr(ctx, "has_origin",
+                                                     False):
+            from .operators.raw import filter_origin
+
+            events = filter_origin(
+                events, "none",
+                foreign_xids=sorted(getattr(ctx, "origin_xids", ())),
+            )
+        is_dml = (
+            F.col("event_type").isin(list(DML_TYPES))
+            & F.col("error").isNull()
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        events = events.observe(
+            obs,
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
+            F.count(
+                F.when(
+                    F.col("event_type").isin(list(APPLY_TYPES))
+                    & F.col("error").isNull()
+                    & F.col("txn_status").isin(["open", "prepared"]),
+                    1,
+                )
+            ).alias("pend"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "truncate")
+                    & (F.col("txn_status") == "committed"),
+                    1,
+                )
+            ).alias("trunc"),
+            F.count(
+                F.when(
+                    is_dml & (F.col("txn_status") == "committed")
+                    & (F.col("table_name") != tname),
+                    1,
+                )
+            ).alias("other_tables"),
+        ).filter(is_dml & (F.col("txn_status") == "committed"))
+        ev = events.filter(
+            (F.col("table_name") == tname)
+            & (F.col("end_lsn") > fence_floor)
+        )
+        t = self.table(tname)
+        snap = t.snapshot()
+        key_cols = snap["key_columns"]
+        key_types = {n: ty for n, ty in snap["schema"] if n in key_cols}
+        data_cols = [(n, ty) for n, ty in snap["schema"]
+                     if n not in key_cols]
+        changes = compact_changes(ev, key_cols, data_cols,
+                                  aliases=snap.get("aliases"),
+                                  key_types=key_types)
+        mark("fast_plan")
+
+        def _check(_record):
+            m = obs.get
+            if int(m["pend"]) or int(m["trunc"]) or int(m["other_tables"]):
+                raise _FastPathViolation(
+                    f"pend={int(m['pend'])} trunc={int(m['trunc'])} "
+                    f"other_tables={int(m['other_tables'])}"
+                )
+
+        try:
+            trec = t.merge(
+                self.spark, changes, applied_lsn=int(hi_commit),
+                batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
+                pre_commit_check=_check,
+            )
+        except _FastPathViolation:
+            return None
+        trec["table"] = tname
+        mark("fast_merge")
+        quar = int(obs.get["quar"])
+        rec = {
+            "batch_idx": batch_idx,
+            "applied_lsn": max(fence_floor, int(hi_commit)),
+            "tables": [trec], "pending": 0, "quarantined": quar,
+            "schema_changes": 0, "stopped": False, "fast_path": True,
+            "phase_ms": phase_t,
+        }
+        self._finish_fast(st, ctx, batch_idx, rec["applied_lsn"],
+                          seq_range, rec)
+        return rec
+
+    def _finish_fast(self, st: dict, ctx, batch_idx: int, applied: int,
+                     seq_range, rec: dict) -> None:
+        st["batch_idx"] = batch_idx + 1
+        st["catalog"] = {
+            str(oid): [list(v) for v in versions]
+            for oid, versions in ctx.catalog.items()
+        }
+        st["open_xid"] = None
+        st["open_stream_xid"] = None
+        st["aborted_subxids"] = []
+        st["origin_xids"] = sorted(
+            int(x) for x in getattr(ctx, "origin_carry", ())
+        )
+        st["applied_lsn"] = applied
+        if seq_range is not None:
+            st["max_seq"] = max(int(st.get("max_seq") or -1),
+                                int(seq_range[1]))
+        _append_metrics(st, rec)
+        self._save_state(st)
+
     # ------------------------------------------------------------- one batch
 
     def process_batch(self, frames: DataFrame, batch_idx: int, st: dict,
                       stop_at_lsn: int | None = None,
                       control_rows: list[dict] | None = None,
-                      seq_range: tuple[int, int] | None = None) -> dict:
+                      seq_range: tuple[int, int] | None = None,
+                      est_frames: int | None = None) -> dict:
         import time as _time
 
         phase_t = {}
@@ -446,6 +607,9 @@ class ReplayEngine:
                     f"The frame transport must preserve WAL order "
                     f"(file-based pumps: non-decreasing mtimes in seq order)."
                 )
+
+        if est_frames is None and seq_range is not None:
+            est_frames = int(seq_range[1]) - int(seq_range[0]) + 1
 
         def _mark(name):
             nonlocal _t0
@@ -479,6 +643,46 @@ class ReplayEngine:
         )
 
         _mark("control_scan")
+
+        # Speculative fast path for the dominant batch shape: every
+        # transaction completes inside the batch, nothing pending or
+        # carried, one known target table, no truncates/schema changes —
+        # then decode → compact → MERGE fuses into ONE job with the batch
+        # statistics riding as Observations, and the events-cache
+        # materialization job disappears entirely. The assumptions are
+        # VERIFIED from the observed metrics before the snapshot commit;
+        # on violation the written files are discarded and the general
+        # path below re-processes the batch (exactly-once preserved by
+        # the untouched fence).
+        names4 = ("open", "committed", "aborted", "prepared")
+        fast_ok = (
+            os.environ.get("WALSTREAM_FASTPATH", "1") == "1"
+            and stop_at_lsn is None
+            and self._pending_meta() is None
+            and getattr(ctx, "open_xid_carry", None) is None
+            and getattr(ctx, "open_stream_carry", None) is None
+            and not getattr(ctx, "aborted_subxids", ())
+            and not ctx.schema_changes
+            # origin-marked batches keep the general path: the fence there
+            # advances over the origin-filtered event set, and the two
+            # paths must agree on applied_lsn
+            and not getattr(ctx, "has_origin", False)
+            and all(names4[int(s)] in ("committed", "aborted")
+                    for s in ctx.xid_status)
+        )
+        if fast_ok and est_frames is not None \
+                and est_frames - len(control) >= FASTPATH_MIN_DML:
+            tnames = {v.relname for vs in ctx.catalog.values() for v in vs}
+            if len(tnames) == 1:
+                tname = next(iter(tnames))
+                if self.table(tname).exists:
+                    rec = self._process_batch_fast(
+                        frames, ctx, batch_idx, st, tname, phase_t, _mark,
+                        seq_range,
+                    )
+                    if rec is not None:
+                        return rec
+                    _mark("fast_path_fallback")
 
         # 2. vectorized decode (narrow); materialized ONCE — every downstream
         # consumer (committed set, pending spill, quarantine count, truncate

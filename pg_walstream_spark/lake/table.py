@@ -411,6 +411,7 @@ class LakeTable:
         truncate_first: bool = False,
         extra_properties: dict | None = None,
         affected_buckets: list[int] | None = None,
+        pre_commit_check=None,
     ) -> dict:
         """Exactly-once MERGE of a compacted change set.
 
@@ -606,6 +607,22 @@ class LakeTable:
             "phase_ms": phase,
             "skipped": False,
         }
+        if pre_commit_check is not None:
+            # caller-supplied validation BEFORE the snapshot commit (the
+            # engine's speculative fast path verifies its batch-shape
+            # assumptions from observed metrics here); on violation the
+            # written-but-uncommitted files are discarded and the error
+            # propagates — the table state is untouched
+            try:
+                pre_commit_check(record)
+            except Exception:
+                import shutil
+
+                if new_files:
+                    any_file = next(iter(new_files.values()))[0]
+                    shutil.rmtree(os.path.dirname(os.path.dirname(any_file)),
+                                  ignore_errors=True)
+                raise
         snap2 = {
             "version": snap["version"] + 1,
             "schema": snap["schema"],

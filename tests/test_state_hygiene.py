@@ -119,3 +119,72 @@ def test_metrics_and_lineage_bounded_at_1000_batches():
     assert roll["upserts"] == 5 * (1000 - LINEAGE_CAP)
     assert lin[-1]["batch_id"] == "b999"
     assert len(json.dumps(lin)) < 128_000
+
+
+def test_fast_path_merge_matches_general_path_and_golden(spark, tmp_path,
+                                                         monkeypatch):
+    """The speculative one-job fast path (complete-txn single-table batch)
+    must land byte-identical lake state and fence as the general cached
+    path and the sequential golden applier."""
+    import pg_walstream_spark.engine as E
+
+    monkeypatch.setattr(E, "FASTPATH_MIN_DML", 10)
+    base, b = wg.gen_basic(n_base=50, n_txns=8, ops_per_txn=6)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+
+    def run(flag):
+        monkeypatch.setenv("WALSTREAM_FASTPATH", flag)
+        wh = os.path.join(str(tmp_path), f"wh_{flag}")
+        eng = E.ReplayEngine(spark, wh)
+        eng.bootstrap_table("repos", spark.read.parquet(bp),
+                            ["repo", "path"], 8)
+        res = eng.replay_frames(fd, batch_frames=100_000)
+        lake = eng.table("repos")
+        rows = sorted((r["repo"], r["path"], r["content"])
+                      for r in lake.read(spark).collect())
+        return res["records"][0], rows, lake.applied_lsn()
+
+    rec_fast, rows_fast, lsn_fast = run("1")
+    rec_gen, rows_gen, lsn_gen = run("0")
+    assert rec_fast.get("fast_path") is True
+    assert "fast_path" not in rec_gen
+    assert rows_fast == rows_gen and lsn_fast == lsn_gen
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    want = sorted((r["repo"], r["path"], r["content"])
+                  for r in golden_rows)
+    assert rows_fast == want and lsn_fast == glsn
+
+
+def test_fast_path_speculation_discards_on_truncate(spark, tmp_path,
+                                                    monkeypatch):
+    """A truncate inside an otherwise fast-eligible batch is only visible
+    AFTER decode: the fast path must observe it, discard the written
+    files without committing, and the general-path fallback must land the
+    exact golden state (exactly-once preserved by the untouched fence)."""
+    import pg_walstream_spark.engine as E
+
+    monkeypatch.setattr(E, "FASTPATH_MIN_DML", 10)
+    monkeypatch.setenv("WALSTREAM_FASTPATH", "1")
+    base, b = wg.gen_truncate(n_base=40)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    res = eng.replay_frames(fd, batch_frames=100_000)
+    rec = res["records"][0]
+    assert "fast_path" not in rec  # fell back
+    assert "fast_path_fallback" in rec["phase_ms"]  # ...after speculating
+    _assert_golden(spark, eng, base, frames)
+    # the discarded speculative write left no file referenced by the
+    # committed snapshot pointing at a nonexistent path
+    lake = eng.table("repos")
+    for fl in lake.snapshot()["files"].values():
+        for f in fl:
+            assert os.path.exists(f)

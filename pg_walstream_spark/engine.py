@@ -546,7 +546,14 @@ class ReplayEngine:
             return None
         trec["table"] = tname
         mark("fast_merge")
-        quar = int(obs.get["quar"])
+        if trec.get("skipped"):
+            # table-level fence skipped the merge (duplicate batch against
+            # an already-advanced table, e.g. fresh engine state over an
+            # existing lake): NO job ran, so the observation never fired —
+            # reading obs.get here would block forever
+            quar = 0
+        else:
+            quar = int(obs.get["quar"])
         rec = {
             "batch_idx": batch_idx,
             "applied_lsn": max(fence_floor, int(hi_commit)),

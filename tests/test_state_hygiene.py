@@ -188,3 +188,36 @@ def test_fast_path_speculation_discards_on_truncate(spark, tmp_path,
     for fl in lake.snapshot()["files"].values():
         for f in fl:
             assert os.path.exists(f)
+
+
+def test_fast_path_duplicate_batch_fence_skip_no_deadlock(spark, tmp_path,
+                                                          monkeypatch):
+    """Fresh engine state over an already-applied lake: the fast path's
+    merge is skipped by the TABLE fence without running any Spark job —
+    the batch observation must then not be read (obs.get on a never-run
+    plan blocks forever; the original hang) and the replay must stay
+    idempotent."""
+    import pg_walstream_spark.engine as E
+
+    monkeypatch.setattr(E, "FASTPATH_MIN_DML", 10)
+    monkeypatch.setenv("WALSTREAM_FASTPATH", "1")
+    base, b = wg.gen_basic(n_base=40, n_txns=5, ops_per_txn=5)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = E.ReplayEngine(spark, wh)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    res1 = eng.replay_frames(fd, batch_frames=100_000)
+    assert res1["records"][0].get("fast_path") is True
+    lsn1 = eng.table("repos").applied_lsn()
+    os.remove(eng.state_path)  # engine state lost; the lake fence survives
+    eng2 = E.ReplayEngine(spark, wh)
+    res2 = eng2.replay_frames(fd, batch_frames=100_000)  # hung before fix
+    rec = res2["records"][0]
+    assert rec.get("fast_path") is True
+    assert rec["tables"] == [] or rec["tables"][0].get("skipped")
+    assert eng2.table("repos").applied_lsn() == lsn1
+    _assert_golden(spark, eng2, base, frames)

@@ -221,3 +221,35 @@ def test_fast_path_duplicate_batch_fence_skip_no_deadlock(spark, tmp_path,
     assert rec["tables"] == [] or rec["tables"][0].get("skipped")
     assert eng2.table("repos").applied_lsn() == lsn1
     _assert_golden(spark, eng2, base, frames)
+
+
+def test_fast_path_materializes_no_cache(spark, tmp_path, monkeypatch):
+    """The point of the fused fast path is eliminating the full-batch
+    events-cache materialization: a fast-path replay must complete without
+    a single DataFrame.persist call."""
+    from pyspark.sql import DataFrame
+
+    import pg_walstream_spark.engine as E
+
+    monkeypatch.setattr(E, "FASTPATH_MIN_DML", 10)
+    monkeypatch.setenv("WALSTREAM_FASTPATH", "1")
+    calls = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+    base, b = wg.gen_basic(n_base=40, n_txns=5, ops_per_txn=5)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    res = eng.replay_frames(fd, batch_frames=100_000)
+    assert res["records"][0].get("fast_path") is True
+    assert not calls, f"fast path persisted {len(calls)} DataFrame(s)"
+    _assert_golden(spark, eng, base, frames)

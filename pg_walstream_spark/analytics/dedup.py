@@ -425,7 +425,7 @@ def _simhash_band_candidates(sig: DataFrame, n_pieces: int = 4,
     ~n²/2³⁰ total, the same corpus-scale regime as the probe scheme —
     while the exploded volume drops 10× (20 vs 216 rows/doc) and both
     join sides stay symmetric."""
-    if n_pieces * piece_bits != 64 or piece_bits < 16:
+    if n_pieces != 4 or piece_bits != 16:
         raise NotImplementedError(
             "triple banding implemented for the 64-bit (4 x 16) signature"
         )

@@ -95,6 +95,10 @@ METRICS_CAP = int(os.environ.get("WALSTREAM_METRICS_CAP", "200"))
 
 def _append_metrics(st: dict, rec: dict) -> None:
     ml = st.setdefault("metrics", [])
+    # an in-place batch retry (retry_call around process_batch) re-enters
+    # with the same in-memory state: replace, don't duplicate, this
+    # batch's row — duplicates would double-count in the rollup
+    ml[:] = [m for m in ml if m.get("batch_idx") != rec["batch_idx"]]
     ml.append({k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
                                    "quarantined")})
     tot = st.setdefault("metrics_rollup", {"batches": 0, "quarantined": 0})
@@ -301,12 +305,17 @@ class ReplayEngine:
         meta = self._pending_meta() or {
             "order": [], "deltas": {}, "dead_xids": [],
         }
+        # Crash-safety: directory deletions happen only AFTER the
+        # meta.json write (as an unreferenced-dir sweep). Deleting first
+        # would open a window where a kill leaves the (old) meta
+        # referencing nonexistent delta dirs and every restart fails
+        # loading the store; the reverse order only leaves garbage dirs,
+        # removed by the next sweep.
         name = f"delta_b{batch_idx}"
         # bounded-replay stop → the batch reprocesses on resume: replace
-        # this batch's delta instead of appending a duplicate
+        # this batch's delta instead of appending a duplicate (the
+        # mode("overwrite") write below replaces the dir in place)
         if name in meta["deltas"]:
-            shutil.rmtree(os.path.join(self.pending_dir, name),
-                          ignore_errors=True)
             meta["order"].remove(name)
             del meta["deltas"][name]
         # tombstone resolved xids; drop deltas with no live xid left
@@ -316,8 +325,6 @@ class ReplayEngine:
         keep = []
         for d in meta["order"]:
             if set(meta["deltas"][d]) <= dead:
-                shutil.rmtree(os.path.join(self.pending_dir, d),
-                              ignore_errors=True)
                 del meta["deltas"][d]
             else:
                 keep.append(d)
@@ -342,14 +349,19 @@ class ReplayEngine:
             df.write.mode("overwrite").parquet(
                 os.path.join(self.pending_dir, cname)
             )
-            for d in meta["order"]:
-                shutil.rmtree(os.path.join(self.pending_dir, d),
-                              ignore_errors=True)
             meta = {"order": [cname],
                     "deltas": {cname: sorted(live - dead)},
                     "dead_xids": []}
         os.makedirs(self.pending_dir, exist_ok=True)
         _atomic_write(self._pending_meta_path(), json.dumps(meta))
+        # delete AFTER the meta commit: everything not referenced by the
+        # new meta — this batch's dropped/compacted deltas plus any
+        # garbage a crash inside an earlier window left behind
+        referenced = set(meta["order"])
+        for entry in os.listdir(self.pending_dir):
+            p = os.path.join(self.pending_dir, entry)
+            if os.path.isdir(p) and entry not in referenced:
+                shutil.rmtree(p, ignore_errors=True)
 
     # ----------------------------------------------------------------- replay
 
@@ -668,7 +680,9 @@ class ReplayEngine:
             and self._pending_meta() is None
             and getattr(ctx, "open_xid_carry", None) is None
             and getattr(ctx, "open_stream_carry", None) is None
-            and not getattr(ctx, "aborted_subxids", ())
+            # len(), not truthiness: aborted_subxids may be a numpy array,
+            # whose bool() raises for size >= 2
+            and len(getattr(ctx, "aborted_subxids", ())) == 0
             and not ctx.schema_changes
             # origin-marked batches keep the general path: the fence there
             # advances over the origin-filtered event set, and the two

@@ -74,20 +74,37 @@ _PERMANENT_MARKERS = ("analysisexception", "protocolerror", "parseexception")
 
 def _root_text(exc: BaseException) -> str:
     """Root-cause classification text: exception class + FIRST message line
-    only. Py4JJavaError stringifies with the whole Java stack trace
-    embedded — matching markers against that would misclassify a genuinely
-    permanent failure as transient just because some frame in the trace
-    mentions a shuffle/timeout, burning the full backoff budget before
-    surfacing. Use the Java exception's class + message when present."""
+    of the exception AND of every link of its cause chain. Py4JJavaError
+    stringifies with the whole Java stack trace embedded — matching
+    markers against that would misclassify a genuinely permanent failure
+    as transient just because some frame in the trace mentions a
+    shuffle/timeout. But classifying on the TOP exception alone misses
+    the common Spark wrapper shape (``SparkException: Exception thrown in
+    awaitResult:`` whose TimeoutException lives in getCause()) — so walk
+    the Java getCause() chain and the Python __cause__ chain, taking
+    class name + first message line of each."""
+    parts: list[str] = []
     je = getattr(exc, "java_exception", None)
     if je is not None:
         try:
-            msg = (je.getMessage() or "").splitlines()
-            return f"{je.getClass().getName()}: {msg[0] if msg else ''}"
-        except Exception:  # noqa: BLE001 — gateway may be gone; fall through
+            seen = 0
+            while je is not None and seen < 8:
+                msg = (je.getMessage() or "").splitlines()
+                parts.append(
+                    f"{je.getClass().getName()}: {msg[0] if msg else ''}"
+                )
+                je = je.getCause()
+                seen += 1
+        except Exception:  # noqa: BLE001 — gateway may be gone; keep parts
             pass
-    s = str(exc).splitlines()
-    return f"{type(exc).__name__}: {s[0] if s else ''}"
+    e: BaseException | None = exc
+    seen = 0
+    while e is not None and seen < 8:
+        s = str(e).splitlines()
+        parts.append(f"{type(e).__name__}: {s[0] if s else ''}")
+        e = e.__cause__ or e.__context__
+        seen += 1
+    return " <- ".join(parts)
 
 
 def classify_error(exc: BaseException) -> str:

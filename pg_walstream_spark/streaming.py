@@ -129,14 +129,16 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
         paths[0][7:] if paths[0].startswith("file://") else paths[0]
     ).rstrip("/") + "_control"
     if os.path.isdir(ctrl_dir):
-        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
-        tbl = _pq.read_table(ctrl_dir, columns=["seq", "wal_start", "data"])
-        control_rows = tbl.filter(
-            _pc.and_(_pc.greater_equal(tbl.column("seq"), min(
-                s["lo"] for s in process)),
-                _pc.less_equal(tbl.column("seq"), hi))
+        # push the seq range into the parquet read: a live stream's
+        # sidecar grows without bound, and re-reading the full history
+        # every micro-batch would be an O(stream age) driver-serial cost —
+        # row groups outside the range are pruned by their seq statistics
+        file_lo = min(s["lo"] for s in process)
+        control_rows = _pq.read_table(
+            ctrl_dir, columns=["seq", "wal_start", "data"],
+            filters=[("seq", ">=", file_lo), ("seq", "<=", hi)],
         ).sort_by("seq").to_pylist()
 
     # a transient failure inside foreachBatch (FS hiccup, executor loss)

@@ -152,3 +152,19 @@ def test_engine_replay_fails_fast_on_permanent(spark, tmp_path, monkeypatch):
     with pytest.raises(ProtocolError):
         eng.replay_frames(fd)
     assert calls["n"] == 1  # no retry burn on an unrecoverable stream
+
+
+def test_classify_walks_cause_chain():
+    """The common Spark wrapper shape — `SparkException: Exception thrown
+    in awaitResult:` whose TimeoutException lives only in the cause — must
+    classify transient (root-cause-only matching would call it permanent
+    and kill the stream on a recoverable hiccup)."""
+    from pg_walstream_spark.retry import classify_error
+
+    try:
+        try:
+            raise TimeoutError("Futures timed out after [300 seconds]")
+        except TimeoutError as t:
+            raise RuntimeError("Exception thrown in awaitResult:") from t
+    except RuntimeError as e:
+        assert classify_error(e) == "transient"

@@ -253,3 +253,13 @@ def test_fast_path_materializes_no_cache(spark, tmp_path, monkeypatch):
     assert res["records"][0].get("fast_path") is True
     assert not calls, f"fast path persisted {len(calls)} DataFrame(s)"
     _assert_golden(spark, eng, base, frames)
+
+
+def test_append_metrics_replaces_same_batch_on_retry():
+    """An in-place batch retry re-enters with the same in-memory state;
+    its metrics row must replace, not duplicate, the prior attempt."""
+    st: dict = {}
+    row = {"batch_idx": 7, "applied_lsn": 5, "pending": 0, "quarantined": 2}
+    _append_metrics(st, row)
+    _append_metrics(st, row)
+    assert len(st["metrics"]) == 1

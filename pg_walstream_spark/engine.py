@@ -306,18 +306,24 @@ class ReplayEngine:
             "order": [], "deltas": {}, "dead_xids": [],
         }
         # Crash-safety: directory deletions happen only AFTER the
-        # meta.json write (as an unreferenced-dir sweep). Deleting first
-        # would open a window where a kill leaves the (old) meta
-        # referencing nonexistent delta dirs and every restart fails
-        # loading the store; the reverse order only leaves garbage dirs,
-        # removed by the next sweep.
-        name = f"delta_b{batch_idx}"
-        # bounded-replay stop → the batch reprocesses on resume: replace
-        # this batch's delta instead of appending a duplicate (the
-        # mode("overwrite") write below replaces the dir in place)
-        if name in meta["deltas"]:
-            meta["order"].remove(name)
-            del meta["deltas"][name]
+        # meta.json write (as an unreferenced-dir sweep), and every write
+        # goes to a FRESH generation-suffixed dir — never to a dir the
+        # committed meta still references. Deleting (or overwriting, which
+        # deletes first) a referenced dir would open a window where a kill
+        # leaves meta pointing at a missing dir and every restart fails
+        # loading the store; fresh-name-then-sweep only leaves garbage
+        # dirs, removed by the next sweep.
+        gen = int(meta.get("gen", 0)) + 1
+        meta["gen"] = gen
+        name = f"delta_b{batch_idx}_g{gen}"
+        # bounded-replay stop / in-place batch retry → the batch
+        # reprocesses: drop the prior attempt's delta from meta (its dir
+        # survives until the post-commit sweep) and write a fresh one
+        prefix = f"delta_b{batch_idx}"
+        for d in [d for d in meta["order"]
+                  if d == prefix or d.startswith(prefix + "_g")]:
+            meta["order"].remove(d)
+            del meta["deltas"][d]
         # tombstone resolved xids; drop deltas with no live xid left
         dead = {int(x) for x in meta["dead_xids"]} | {
             int(x) for x in resolved_xids
@@ -345,13 +351,13 @@ class ReplayEngine:
             df = self.spark.read.schema(EVENT_SPARK_DDL).parquet(*paths)
             if meta["dead_xids"]:
                 df = df.filter(~F.col("xid").isin(meta["dead_xids"]))
-            cname = f"compact_b{batch_idx}"
+            cname = f"compact_b{batch_idx}_g{gen}"
             df.write.mode("overwrite").parquet(
                 os.path.join(self.pending_dir, cname)
             )
             meta = {"order": [cname],
                     "deltas": {cname: sorted(live - dead)},
-                    "dead_xids": []}
+                    "dead_xids": [], "gen": gen}
         os.makedirs(self.pending_dir, exist_ok=True)
         _atomic_write(self._pending_meta_path(), json.dumps(meta))
         # delete AFTER the meta commit: everything not referenced by the
@@ -556,16 +562,19 @@ class ReplayEngine:
             )
         except _FastPathViolation:
             return None
-        trec["table"] = tname
         mark("fast_merge")
         if trec.get("skipped"):
             # table-level fence skipped the merge (duplicate batch against
             # an already-advanced table, e.g. fresh engine state over an
-            # existing lake): NO job ran, so the observation never fired —
-            # reading obs.get here would block forever
-            quar = 0
-        else:
-            quar = int(obs.get["quar"])
+            # existing lake): NO job ran, so the speculative-shape
+            # observations were never verified — reading obs.get here
+            # would block forever, and committing engine state on the
+            # unverified assumptions could silently discard pending /
+            # truncate / other-table rows. Fall back: the general path
+            # reprocesses the batch and the fence keeps it idempotent.
+            return None
+        trec["table"] = tname
+        quar = int(obs.get["quar"])
         rec = {
             "batch_idx": batch_idx,
             "applied_lsn": max(fence_floor, int(hi_commit)),

@@ -102,7 +102,11 @@ def _root_text(exc: BaseException) -> str:
     while e is not None and seen < 8:
         s = str(e).splitlines()
         parts.append(f"{type(e).__name__}: {s[0] if s else ''}")
-        e = e.__cause__ or e.__context__
+        # walk only EXPLICIT `raise ... from ...` chains: an implicit
+        # __context__ link is whatever unrelated exception happened to be
+        # in flight when this one was raised — letting its text inject
+        # transient/permanent markers can flip the retry decision
+        e = e.__cause__
         seen += 1
     return " <- ".join(parts)
 

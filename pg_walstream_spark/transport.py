@@ -271,7 +271,16 @@ def _nested_subs(elem_stream: np.ndarray, elem_len: np.ndarray,
     ecum = np.concatenate([[0], np.cumsum(elem_len)]).astype(_I64)
     row_start = ecum[loffs[:-1] - lo]
     row_len = ecum[loffs[1:] - lo] - row_start
-    chdr = _be(loffs[1:] - loffs[:-1], ">u2").reshape(-1)
+    counts = loffs[1:] - loffs[:-1]
+    # the wire count header is u16; astype('>u2') would silently WRAP a
+    # >65535-entry row into a corrupt payload, where the sequential
+    # oracle's struct.pack('>H') raises — keep the loud-failure contract
+    if len(counts) and int(counts.max()) > 0xFFFF:
+        raise ValueError(
+            f"list/map entry count {int(counts.max())} exceeds the u16 "
+            f"wire limit (65535)"
+        )
+    chdr = _be(counts, ">u2").reshape(-1)
     subs = [
         (chdr, np.arange(n, dtype=_I64) * 2, np.where(present, 2, 0)),
         (elem_stream, row_start, np.where(present, row_len, 0)),

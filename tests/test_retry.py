@@ -168,3 +168,20 @@ def test_classify_walks_cause_chain():
             raise RuntimeError("Exception thrown in awaitResult:") from t
     except RuntimeError as e:
         assert classify_error(e) == "transient"
+
+
+def test_classify_ignores_implicit_context_chain():
+    """An unrelated exception that was merely in flight when the real
+    error was raised (implicit __context__, no `raise ... from`) must not
+    inject transient/permanent markers into the classification — only
+    explicit __cause__ chains are walked (ADVICE r4, retry.py)."""
+    from pg_walstream_spark.retry import classify_error
+
+    try:
+        try:
+            raise ValueError("connection reset by peer")  # transient text
+        except ValueError:
+            raise RuntimeError("unrecognized engine failure")
+    except RuntimeError as e:
+        assert e.__context__ is not None and e.__cause__ is None
+        assert classify_error(e) == "permanent"

@@ -195,7 +195,9 @@ def test_fast_path_duplicate_batch_fence_skip_no_deadlock(spark, tmp_path,
     """Fresh engine state over an already-applied lake: the fast path's
     merge is skipped by the TABLE fence without running any Spark job —
     the batch observation must then not be read (obs.get on a never-run
-    plan blocks forever; the original hang) and the replay must stay
+    plan blocks forever; the original hang). Since no job verified the
+    speculative shape, the fast path must FALL BACK to the general path
+    (not commit state on unverified assumptions) and the replay must stay
     idempotent."""
     import pg_walstream_spark.engine as E
 
@@ -217,7 +219,8 @@ def test_fast_path_duplicate_batch_fence_skip_no_deadlock(spark, tmp_path,
     eng2 = E.ReplayEngine(spark, wh)
     res2 = eng2.replay_frames(fd, batch_frames=100_000)  # hung before fix
     rec = res2["records"][0]
-    assert rec.get("fast_path") is True
+    assert "fast_path" not in rec  # fence skip ⇒ unverified ⇒ fell back
+    assert "fast_path_fallback" in rec["phase_ms"]
     assert rec["tables"] == [] or rec["tables"][0].get("skipped")
     assert eng2.table("repos").applied_lsn() == lsn1
     _assert_golden(spark, eng2, base, frames)
@@ -263,3 +266,48 @@ def test_append_metrics_replaces_same_batch_on_retry():
     _append_metrics(st, row)
     _append_metrics(st, row)
     assert len(st["metrics"]) == 1
+
+
+def test_pending_store_replace_never_deletes_referenced_delta(
+        spark, tmp_path, monkeypatch):
+    """In-place batch retry / stop-resume replaces a batch's delta: the
+    replacement must be written under a FRESH dir name while the committed
+    meta.json still references the old one — a kill between the write and
+    the meta commit must leave the store loadable (ADVICE r4: overwrite of
+    the referenced dir deletes it first, bricking every restart)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import pg_walstream_spark.engine as E
+
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    empty = spark.createDataFrame([], E.EVENT_SPARK_DDL)
+    row = spark.range(1).select(*[
+        (F.lit(7) if f.name == "xid" else F.lit(None)).cast(f.dataType)
+        .alias(f.name)
+        for f in empty.schema.fields
+    ])
+    eng._pending_append(row, {7}, set(), batch_idx=3)
+    meta1 = eng._pending_meta()
+    (d1,) = meta1["order"]
+
+    orig = E._atomic_write
+
+    def boom(path, data):
+        raise OSError("killed before meta commit")
+
+    monkeypatch.setattr(E, "_atomic_write", boom)
+    with pytest.raises(OSError):
+        eng._pending_append(row, {7}, set(), batch_idx=3)  # retry, killed
+    monkeypatch.setattr(E, "_atomic_write", orig)
+    # committed meta survives AND the dir it references still exists
+    assert eng._pending_meta() == meta1
+    assert os.path.isdir(os.path.join(eng.pending_dir, d1))
+    assert eng._load_pending().count() == 1  # store loads fine
+    # a successful retry lands a fresh dir and sweeps the old one
+    eng._pending_append(row, {7}, set(), batch_idx=3)
+    meta2 = eng._pending_meta()
+    (d2,) = meta2["order"]
+    assert d2 != d1
+    assert not os.path.isdir(os.path.join(eng.pending_dir, d1))
+    assert eng._load_pending().count() == 1

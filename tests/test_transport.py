@@ -128,3 +128,29 @@ def test_roundtrip_fixture_events_e2e(spark, tmp_path):
         return sorted(rows, key=repr)
 
     assert norm(back) == norm(events)
+
+
+def test_batch_codec_rejects_u16_count_overflow():
+    """The wire count header is u16: numpy astype('>u2') would silently
+    WRAP a >65535-entry list/map into a corrupt payload where the
+    sequential oracle's struct.pack('>H') raises — the batch codec must
+    be equally loud (ADVICE r4, transport.py count validation)."""
+    import pyarrow as pa
+    import pytest
+
+    from pg_walstream_spark.operators.decode import EVENT_ARROW_SCHEMA
+    from pg_walstream_spark.transport import encode_batch
+
+    for name, kind in (("key_columns", "arr"), ("new_data", "map")):
+        row = {n: None for n, _ in FIELDS}
+        row[name] = (
+            [""] * 65_536 if kind == "arr"
+            else {f"k{i}": None for i in range(65_536)}
+        )
+        batch = pa.Table.from_pylist(
+            [row], schema=EVENT_ARROW_SCHEMA
+        ).combine_chunks().to_batches()[0]
+        with pytest.raises(ValueError, match="u16 wire limit"):
+            encode_batch(batch)
+        with pytest.raises(Exception):  # struct.error — oracle is loud too
+            encode_row(row)

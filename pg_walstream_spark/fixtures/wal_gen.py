@@ -74,6 +74,22 @@ class WalBuilder:
         self.next_xid += 1
         return self.next_xid
 
+    def keepalive(self, reply_requested: bool = False,
+                  wal_end: int | None = None) -> int:
+        """Primary-keepalive heartbeat frame ('k'). Does NOT consume WAL
+        address space — the payload wal_end is the server flush position
+        (defaults to the current LSN), and the frame's own wal_start/wal_end
+        both report it (reference protocol.rs:1940-1965)."""
+        we = self.lsn if wal_end is None else wal_end
+        body = e.encode_keepalive(we, self.seq * 1_000, reply_requested)
+        server_time = self.seq * 1_000 + 1
+        self.frames.append(
+            (self.seq, _signed64(we), _signed64(we), server_time,
+             body[0], body)
+        )
+        self.seq += 1
+        return we
+
     def relation(self, oid: int, relname: str, columns, replica_identity="d",
                  namespace="public", xid=None):
         self.emit(e.encode_relation(oid, namespace, relname, replica_identity,
@@ -494,6 +510,30 @@ def gen_malformed(seed: int = 42):
     b.emit(b"I\x00\x00\x40\x00N\xff\xff")          # bogus column count
     b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
     b.commit()
+    return base, b
+
+
+def gen_keepalives(n_base: int = 60, n_txns: int = 8, ops_per_txn: int = 5,
+                   seed: int = 42):
+    """Data stream with heartbeat keepalive frames interleaved the way a
+    live file tail would see them — between transactions, INSIDE a
+    transaction, and a trailing run past the last commit (the trailing
+    wal_end outruns every commit LSN). Final state must equal the same
+    stream without keepalives; fence/max_seq advance normally."""
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+    b.keepalive()                           # before any txn
+    for t in range(n_txns):
+        b.begin()
+        for k in range(ops_per_txn):
+            b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+            if k == 2:
+                b.keepalive(reply_requested=True)   # mid-transaction
+        b.commit()
+        b.keepalive()                       # between transactions
+    b.keepalive(wal_end=b.lsn + 4096)       # flush position ahead of data
     return base, b
 
 

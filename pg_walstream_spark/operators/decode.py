@@ -1017,6 +1017,13 @@ def _decode_control_rows(
         elif et == "stream_abort":
             r["txn_status"] = "aborted"
             r["sub_xid"] = m.get("subxid")
+        elif et == "keepalive":
+            # heartbeat: no state effect downstream (matches no DML/apply/
+            # truncate filter), but the payload wal_end is the server flush
+            # position — surface it so received-LSN tracking can advance
+            # past the last data frame (reference stream.rs:1126-1142)
+            r["wal_end"] = m["wal_end"]
+            r["server_time"] = m["server_ts_us"]
         rows.append(r)
     return _rows_to_table(rows)
 

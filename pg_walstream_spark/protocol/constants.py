@@ -30,6 +30,11 @@ TAG_PREPARE = ord("P")
 TAG_COMMIT_PREPARED = ord("K")
 TAG_ROLLBACK_PREPARED = ord("r")
 TAG_STREAM_PREPARE = ord("p")
+# Copy-stream-level primary keepalive ('k'): not a pgoutput message, but a
+# replay fixture may interleave heartbeat frames the way a live file tail
+# would see them (reference /root/reference/src/protocol.rs:1940-1965:
+# 'k' + wal_end u64 + timestamp i64 + reply_requested u8).
+TAG_KEEPALIVE = ord("k")
 
 # TupleData column kinds.
 COL_NULL = ord("n")          # SQL NULL
@@ -87,6 +92,7 @@ EVENT_PREPARE = "prepare"
 EVENT_COMMIT_PREPARED = "commit_prepared"
 EVENT_ROLLBACK_PREPARED = "rollback_prepared"
 EVENT_STREAM_PREPARE = "stream_prepare"
+EVENT_KEEPALIVE = "keepalive"
 
 TAG_TO_EVENT = {
     TAG_BEGIN: EVENT_BEGIN,
@@ -108,6 +114,7 @@ TAG_TO_EVENT = {
     TAG_COMMIT_PREPARED: EVENT_COMMIT_PREPARED,
     TAG_ROLLBACK_PREPARED: EVENT_ROLLBACK_PREPARED,
     TAG_STREAM_PREPARE: EVENT_STREAM_PREPARE,
+    TAG_KEEPALIVE: EVENT_KEEPALIVE,
 }
 
 

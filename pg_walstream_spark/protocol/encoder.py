@@ -241,3 +241,11 @@ def encode_stream_prepare(
     return struct.pack(">BB", c.TAG_STREAM_PREPARE, flags) + _prepare_body(
         prepare_lsn, end_lsn, ts_us, xid, gid
     )
+
+
+def encode_keepalive(wal_end: int, ts_us: int,
+                     reply_requested: bool = False) -> bytes:
+    """Primary keepalive ('k' + wal_end u64 + timestamp i64 + reply u8) —
+    copy-stream heartbeat, layout per reference protocol.rs:1940-1965."""
+    return struct.pack(">BQqB", c.TAG_KEEPALIVE, wal_end, ts_us,
+                       1 if reply_requested else 0)

@@ -301,4 +301,15 @@ class PyWalParser:
                 "xid": r.u32(),
                 "gid": r.cstr(),
             }
+        if tag == c.TAG_KEEPALIVE:
+            # copy-stream heartbeat (reference protocol.rs:1940-1965); the
+            # payload wal_end is the server's flush position and may run
+            # ahead of the last data frame
+            wal_end = r.u64()
+            return {
+                "event_type": c.EVENT_KEEPALIVE,
+                "wal_end": wal_end,
+                "server_ts_us": r.i64(),
+                "reply_requested": bool(r.u8()),
+            }
         raise ProtocolError(f"unknown message tag {tag} ({chr(tag) if 32 <= tag < 127 else '?'})")

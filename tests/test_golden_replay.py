@@ -451,3 +451,45 @@ def test_e2e_integer_keyed_table(spark, tmp_path):
     # no duplicate keys across bucket files (the stale-row failure mode)
     assert t.read(spark).count() == \
         t.read(spark).select("id").distinct().count()
+
+
+def test_e2e_keepalive_frames(spark, tmp_path):
+    """Heartbeat 'k' frames interleaved before/inside/between transactions
+    plus a trailing run past the last commit (reference
+    protocol.rs:1940-1965, stream.rs:1126-1142): final state identical to
+    the data-only stream, nothing quarantined, max_seq covers the keepalive
+    frames, and the fence advances to the last commit (not the trailing
+    keepalive's wal_end, which outruns the WAL)."""
+    base, b = wg.gen_keepalives()
+    frames = b.to_table()
+    # split mid-txn so a keepalive-holding batch boundary is exercised too
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames,
+                     batch_frames=17)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    st = eng._load_state()
+    assert sum(m.get("quarantined", 0) for m in st["metrics"]) == 0
+    assert eng.table("repos").applied_lsn() == b.commit_lsns[-1]
+
+
+def test_keepalive_roundtrip_and_decode_row():
+    """encode->parse roundtrip and the decoded event row carries the
+    PAYLOAD wal_end (server flush position), not the frame's."""
+    from pg_walstream_spark.operators.decode import (
+        DecodeContext, decode_batch,
+    )
+    from pg_walstream_spark.protocol import encoder as e
+    from pg_walstream_spark.protocol.pyparser import PyWalParser
+
+    body = e.encode_keepalive(0xDEAD_BEEF_00, 1234, reply_requested=True)
+    m = PyWalParser(2).parse(body)
+    assert m == {"event_type": "keepalive", "wal_end": 0xDEAD_BEEF_00,
+                 "server_ts_us": 1234, "reply_requested": True}
+
+    b = wg.WalBuilder()
+    b.keepalive(wal_end=0x5000)
+    tbl = decode_batch(b.to_table().to_batches()[0], DecodeContext())
+    assert tbl.num_rows == 1
+    row = tbl.to_pylist()[0]
+    assert row["event_type"] == "keepalive"
+    assert row["wal_end"] == 0x5000
+    assert row["error"] is None

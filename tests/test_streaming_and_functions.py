@@ -367,3 +367,34 @@ def test_frame_files_have_increasing_mtimes(tmp_path):
     assert len(files) >= 3
     mtimes = [os.stat(os.path.join(d, f)).st_mtime for f in files]
     assert all(a < b2 for a, b2 in zip(mtimes, mtimes[1:])), mtimes
+
+
+def test_streaming_keepalives_advance_max_seq(spark, tmp_path):
+    """Streaming ingest of a keepalive-interleaved stream: heartbeats are
+    consumed like any frame (max_seq covers them — a keepalive-only tail
+    must not look like a gap to the hold-and-release guard), final state
+    matches golden, fence stops at the last commit."""
+    base, b = wg.gen_keepalives(n_txns=4)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=11)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    p = os.path.join(str(tmp_path), "repos.parquet")
+    wg.write_base(base, p)
+    eng.bootstrap_table("repos", spark.read.parquet(p), ["repo", "path"], 8)
+    q = start_stream(
+        spark, frames_dir, wh,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    golden_rows, _ = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in eng.table("repos").read(spark).collect())
+    assert got == sorted(
+        (r["repo"], r["path"], r["content"]) for r in golden_rows)
+    st = eng._load_state()
+    assert int(st["max_seq"]) == frames.num_rows - 1
+    assert st.get("held_frames") in (None, [], {})
+    assert eng.table("repos").applied_lsn() == b.commit_lsns[-1]

@@ -513,6 +513,133 @@ def gen_malformed(seed: int = 42):
     return base, b
 
 
+COMPLEX_OID = 16900
+# (flags bit0=key, name, type_oid, typmod) — real PG OIDs; values travel as
+# pgoutput text so the OIDs are catalog metadata only (the fidelity under
+# test: verbatim text passthrough, reference
+# /root/reference/integration-tests/complex_types.rs:9-16)
+COMPLEX_COLUMNS = [
+    (1, "id", 23, -1),            # int4 key
+    (0, "int_arr", 1007, -1),     # integer[]
+    (0, "text_arr", 1009, -1),    # text[]
+    (0, "bool_arr", 1000, -1),    # boolean[]
+    (0, "float_arr", 1022, -1),   # float8[]
+    (0, "nested_arr", 1007, -1),  # integer[][]
+    (0, "json_doc", 114, -1),     # json
+    (0, "jsonb_doc", 3802, -1),   # jsonb
+    (0, "geo_point", 600, -1),    # point
+    (0, "geo_path", 602, -1),     # path
+    (0, "geo_polygon", 604, -1),  # polygon
+    (0, "geo_circle", 718, -1),   # circle
+    (0, "big_numeric", 1700, -1),  # numeric
+    (0, "uid", 2950, -1),         # uuid
+    (0, "net_inet", 869, -1),     # inet
+    (0, "t_range", 3912, -1),     # daterange
+    (0, "t_interval", 1186, -1),  # interval
+    (0, "ts_tz", 1184, -1),       # timestamptz
+    (0, "raw_bytea", 17, -1),     # bytea (text format: \x hex)
+    (0, "t_vector", 3614, -1),    # tsvector
+    (0, "composite", 16901, -1),  # composite row type
+]
+
+# The 3 rows the complex-type fixture inserts, keyed by id: PG text
+# representations exactly as the server emits them, including the
+# quoting/escaping corners the reference's 13 family tests pin.
+COMPLEX_ROWS = {
+    "1": {
+        "int_arr": "{1,2,3}",
+        "text_arr": "{hello,world,pg}",
+        "bool_arr": "{t,f,t}",
+        "float_arr": "{1.1,2.2,3.3}",
+        "nested_arr": "{{1,2},{3,4}}",
+        "json_doc": '{"a": 1, "b": [1, 2, 3], "c": {"d": "x"}}',
+        "jsonb_doc": '{"a": 1, "b": null}',
+        "geo_point": "(1.5,2.5)",
+        "geo_path": "((0,0),(1,1),(2,0))",
+        "geo_polygon": "((0,0),(1,1),(2,0))",
+        "geo_circle": "<(1,2),3>",
+        "big_numeric": "123456789012345678901234567890.123456789",
+        "uid": "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11",
+        "net_inet": "192.168.1.0/24",
+        "t_range": "[2024-01-01,2024-12-31)",
+        "t_interval": "1 year 2 mons 3 days 04:05:06",
+        "ts_tz": "2024-01-01 12:34:56.789012+00",
+        "raw_bytea": "\\xdeadbeef00ff",
+        "t_vector": "'cat':3 'fat':2",
+        "composite": '(1,foo,"(2,bar)")',
+    },
+    "2": {  # quoting/null/empty corners
+        "int_arr": "{}",
+        "text_arr": '{"has space","has,comma","has\\"quote","{brace}",NULL}',
+        "bool_arr": "{NULL}",
+        "float_arr": "{NaN,Infinity,-Infinity}",
+        "nested_arr": "{1,NULL,3}",
+        "json_doc": "null",
+        "jsonb_doc": '{"emoji": "\U0001F418", "nl": "line1\\nline2"}',
+        "geo_point": "(-0.5,1e-30)",
+        "geo_path": "[(0,0),(1,1)]",
+        "geo_polygon": "((0,0),(0,1),(1,1),(1,0))",
+        "geo_circle": "<(0,0),0.25>",
+        "big_numeric": "-0.000000010000000",
+        "uid": "00000000-0000-0000-0000-000000000000",
+        "net_inet": "2001:db8::8a2e:370:7334/64",
+        "t_range": "empty",
+        "t_interval": "-00:00:01.000001",
+        "ts_tz": "1999-12-31 23:59:59+05:30",
+        "raw_bytea": "\\x",
+        "t_vector": "",
+        "composite": "(,,)",
+    },
+    "3": {  # all complex columns SQL NULL
+        n: None for _, n, _, _ in COMPLEX_COLUMNS[1:]
+    },
+}
+# row 3 after the update txn: NULL -> values, values -> NULL flips
+COMPLEX_ROW3_UPDATED = {
+    "int_arr": "{9}",
+    "json_doc": '{"updated": true}',
+    "big_numeric": "NaN",
+}
+
+
+def _complex_tuple(id_text: str, vals: dict) -> tuple:
+    tup = [("t", id_text.encode())]
+    for _, name, _, _ in COMPLEX_COLUMNS[1:]:
+        v = vals.get(name)
+        tup.append(("n", None) if v is None else ("t", v.encode("utf-8")))
+    return tuple(tup)
+
+
+def gen_complex_types(seed: int = 42):
+    """Complex-type passthrough stream (reference complex_types.rs:137-1154):
+    arrays / json / geometry / numeric / uuid / network / range / interval /
+    timestamp / bytea / tsvector / composite arriving as verbatim pgoutput
+    text, across insert, update (incl. NULL flips) and delete."""
+    base = pa.table({
+        "id": pa.array([], pa.string()),
+        **{name: pa.array([], pa.string())
+           for _, name, _, _ in COMPLEX_COLUMNS[1:]},
+    })
+    b = WalBuilder(seed)
+    b.relation(COMPLEX_OID, "complex", COMPLEX_COLUMNS)
+    b.begin()
+    for rid in ("1", "2", "3"):
+        b.emit(e.encode_insert(
+            COMPLEX_OID, _complex_tuple(rid, COMPLEX_ROWS[rid])))
+    b.commit()
+    b.begin()  # update row 3: NULL->value and value->NULL transitions
+    b.emit(e.encode_update(
+        COMPLEX_OID, _complex_tuple("3", COMPLEX_ROW3_UPDATED), None))
+    b.commit()
+    b.begin()  # delete row 2 (key-only old tuple)
+    b.emit(e.encode_delete(
+        COMPLEX_OID,
+        tuple([("t", b"2")] + [("n", None)] * (len(COMPLEX_COLUMNS) - 1)),
+    ))
+    b.commit()
+    return base, b
+
+
 def gen_keepalives(n_base: int = 60, n_txns: int = 8, ops_per_txn: int = 5,
                    seed: int = 42):
     """Data stream with heartbeat keepalive frames interleaved the way a

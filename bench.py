@@ -48,6 +48,7 @@ BENCH_OPS = int(os.environ.get("BENCH_OPS_PER_TXN", "100"))
 
 QUERY_NAMES = [
     "cdc_last_image", "cdc_event_counts", "cdc_fence_dedup",
+    "cdc_salted_compact",
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "top_customers_window", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_cosine",

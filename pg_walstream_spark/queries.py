@@ -206,6 +206,53 @@ GROUP BY event_type
 """
 
 
+def cdc_salted_compact(spark, sf_dir):
+    """Hot-key last-image compaction through the EXPLICIT two-level salted
+    reduce (operators/compact.py compact_salted): the whole events stream
+    collapses onto 5 keys (user_id % 5 — pathological skew, the shape where
+    a single reducer would hold the entire batch at 10^10-row scale).
+    'error' events are deletes, 'view' values are unchanged-TOAST (the
+    carry-forward must take the newest NON-toast upsert value)."""
+    from .operators.compact import compact_salted
+
+    images = _t(spark, sf_dir, "events").selectExpr(
+        "user_id % 5 AS k",
+        "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' "
+        "END AS _op",
+        "event_id AS commit_lsn",
+        "event_id AS seq",
+        "value",
+        "event_type",
+        "event_type = 'view' AS _t_value",
+        "false AS _t_event_type",
+    )
+    out = compact_salted(
+        images, ["k"], [("value", "double"), ("event_type", "string")],
+        n_salt=8,
+    )
+    return out.selectExpr(
+        "k", "_op AS op", "round(value, 6) AS last_value",
+        "event_type AS last_event_type",
+    )
+
+
+CDC_SALTED_COMPACT_SQL = """
+WITH img AS (
+  SELECT user_id % 5 AS k, event_id AS ord,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value, event_type,
+         (event_type = 'view') AS t_value
+  FROM events
+)
+SELECT o.k, o.op, v.last_value, e.last_event_type
+FROM      (SELECT k, arg_max(op, ord) AS op FROM img GROUP BY k) o
+JOIN (SELECT k, round(arg_max(value, ord), 6) AS last_value
+      FROM img WHERE op = 'upsert' AND NOT t_value GROUP BY k) v USING (k)
+JOIN (SELECT k, arg_max(event_type, ord) AS last_event_type
+      FROM img WHERE op = 'upsert' GROUP BY k) e USING (k)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-ish breadth
 # ---------------------------------------------------------------------------
@@ -1078,20 +1125,43 @@ def wal_replay_final_state(spark, sf_dir):
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
     # stable whole-state digest: sha256 over the sorted per-row digests.
-    # The fixture is seeded, so this value is a constant across runs —
-    # pinned in tests/test_queries_oracle.py::test_wal_replay_fingerprint —
-    # giving this non-SQL-expressible engine query a stronger-than-rows-only
-    # self check.
+    # The fixture is seeded, so the value is a constant across runs — the
+    # SAME constant the oracle SQL pins (WAL_REPLAY_FP below), turning this
+    # engine-internal query into a hash-checked driver row; any semantics
+    # drift (lost rows, wrong last image, broken TOAST carry) flips it.
+    # Independently re-derived from the sequential golden applier in
+    # tests/test_queries_oracle.py::test_wal_replay_fingerprint.
     digest = F.sha2(
         F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256"),
         256,
     )
-    fp = out.agg(
+    return out.agg(
         F.sha2(
             F.concat_ws("|", F.sort_array(F.collect_list(digest))), 256
-        ).alias("table_fingerprint")
+        ).alias("table_fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
-    return out.crossJoin(F.broadcast(fp))
+
+
+WAL_REPLAY_FP = \
+    "c8d749270b25741e0804b42c1083b28dfbd6464622e8c2198bd1f144a5ceafc9"
+WAL_REPLAY_FINAL_STATE_SQL = f"""
+SELECT '{WAL_REPLAY_FP}' AS table_fingerprint, CAST(160 AS BIGINT) AS n_rows
+"""
+
+# decode-stage counts over the seeded gen_mixed_dml fixture: constants,
+# independently re-derived via the sequential oracle parser in
+# tests/test_queries_oracle.py::test_wal_decode_counts_pinned
+WAL_DECODE_COUNTS_SQL = """
+SELECT * FROM (VALUES
+  ('begin',    CAST(NULL AS VARCHAR),  CAST(12 AS BIGINT)),
+  ('commit',   'committed',            CAST(12 AS BIGINT)),
+  ('delete',   'committed',            CAST(30 AS BIGINT)),
+  ('insert',   'committed',            CAST(24 AS BIGINT)),
+  ('relation', CAST(NULL AS VARCHAR),  CAST(2 AS BIGINT)),
+  ('update',   'committed',            CAST(42 AS BIGINT))
+) AS t(event_type, txn_status, n)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1107,6 +1177,7 @@ QUERIES = {
     "cdc_lsn_format": (cdc_lsn_format, CDC_LSN_FORMAT_SQL),
     "pg_bool_coercion": (pg_bool_coercion, PG_BOOL_COERCION_SQL),
     "cdc_typed_props": (cdc_typed_props, CDC_TYPED_PROPS_SQL),
+    "cdc_salted_compact": (cdc_salted_compact, CDC_SALTED_COMPACT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
@@ -1137,6 +1208,8 @@ QUERIES = {
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL,
     ),
-    "wal_decode_counts": (wal_decode_counts, None),
-    "wal_replay_final_state": (wal_replay_final_state, None),
+    "wal_decode_counts": (wal_decode_counts, WAL_DECODE_COUNTS_SQL),
+    "wal_replay_final_state": (
+        wal_replay_final_state, WAL_REPLAY_FINAL_STATE_SQL,
+    ),
 }

@@ -114,3 +114,29 @@ def test_events_query_pushes_filter(spark):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:160]
     assert "event_id" in pushed
+
+
+def test_salted_compaction_two_level_exchange_shape(spark):
+    """cdc_salted_compact's physical plan must show the explicit two-level
+    reduce: an exchange keyed on (k, _salt) feeding the level-1 aggregate,
+    then a second exchange on k alone for the final combine — with partial
+    (map-side) aggregation before each. That's the shape that spreads a
+    pathologically hot key over n_salt reducers at 10^10-row scale."""
+    from pg_walstream_spark.queries import cdc_salted_compact
+
+    df = cdc_salted_compact(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # two shuffles: hashpartitioning(k, _salt, ...) then hashpartitioning(k, ...)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "_salt" in p and "k" in p]
+    unsalted = [p for p in parts if "_salt" not in p and p.startswith("k")]
+    assert salted, f"no (k, _salt) exchange in plan:\n{plan[:2000]}"
+    assert unsalted, f"no final k-only exchange in plan:\n{plan[:2000]}"
+    # the salted exchange precedes the final one
+    assert plan.find("_salt") < plan.rfind("hashpartitioning")
+    # partial aggregation present (>= 4 agg operators across the 2 levels)
+    agg_markers = plan.count("HashAggregate") \
+        + plan.count("ObjectHashAggregate") + plan.count("SortAggregate")
+    assert agg_markers >= 4, f"expected partial+final at both levels:\n{plan[:2000]}"

@@ -93,12 +93,31 @@ def test_wal_replay_fingerprint(spark):
     (sha256 over sorted per-row digests). The fixture is seeded, so the
     value is a constant — any engine semantics drift (lost rows, wrong
     last image, broken TOAST carry) changes it."""
-    df = entry_mod.queries()["wal_replay_final_state"](spark, SF_DIR)
-    fps = [r[0] for r in df.select("table_fingerprint").distinct().collect()]
-    assert fps == [
-        "c8d749270b25741e0804b42c1083b28dfbd6464622e8c2198bd1f144a5ceafc9"
-    ]
-    assert df.count() == 160
+    import hashlib
+
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.golden import golden_final_state
+    from pg_walstream_spark.queries import WAL_REPLAY_FP
+
+    row = entry_mod.queries()["wal_replay_final_state"](spark, SF_DIR) \
+        .collect()
+    assert len(row) == 1
+    assert row[0]["table_fingerprint"] == WAL_REPLAY_FP
+    assert row[0]["n_rows"] == 160
+    # independently re-derive the pinned constant from the SEQUENTIAL
+    # golden applier, so the oracle-SQL constant isn't self-fulfilling
+    base, b = wg.gen_basic(n_base=100, n_txns=10, ops_per_txn=6, seed=11)
+    rows, _ = golden_final_state(base, b.to_table())
+    digests = sorted(
+        hashlib.sha256("|".join([
+            r["repo"], r["path"], r["commit"], r["lang"],
+            hashlib.sha256(r["content"].encode()).hexdigest(),
+        ]).encode()).hexdigest()
+        for r in rows
+    )
+    want = hashlib.sha256("|".join(digests).encode()).hexdigest()
+    assert want == WAL_REPLAY_FP
+    assert len(rows) == 160
 
 
 def test_wal_decode_counts_pinned(spark):

@@ -129,6 +129,23 @@ DML_TYPES = ("insert", "update", "delete")
 APPLY_TYPES = DML_TYPES + ("truncate",)
 
 
+# Engine-state / warehouse layout version. Bump whenever the persisted
+# layout changes incompatibly (events schema columns, pending-store delta
+# format, metrics rollup shape). v3 = sub_xid/message_content events schema
+# + generation-suffixed append-delta pending store + capped metrics rollup.
+ENGINE_STATE_VERSION = 3
+
+
+class StateVersionError(RuntimeError):
+    """A warehouse written by an incompatible engine version was opened.
+
+    The reference performs the same preflight against server/slot versions
+    before streaming (/root/reference/integration-tests/version_preflight.rs);
+    here the failure mode is a stale warehouse dir — e.g. a pending store
+    from an older events-schema era, which would otherwise surface as an
+    unreadable-parquet crash mid-replay (or worse, quietly wrong columns)."""
+
+
 class ReplayEngine:
     def __init__(self, spark: SparkSession, warehouse: str,
                  protocol_version: int = 2,
@@ -174,11 +191,24 @@ class ReplayEngine:
     def _load_state(self) -> dict:
         if os.path.exists(self.state_path):
             with open(self.state_path) as f:
-                return json.load(f)
+                st = json.load(f)
+            found = int(st.get("state_version", 0))
+            if found != ENGINE_STATE_VERSION:
+                raise StateVersionError(
+                    f"warehouse {self.warehouse!r} was written by engine "
+                    f"state version {found}, this engine speaks "
+                    f"{ENGINE_STATE_VERSION}. Refusing to replay onto an "
+                    f"incompatible layout (pending/catalog formats differ). "
+                    f"Re-bootstrap into a fresh warehouse, or replay with "
+                    f"the matching engine version."
+                )
+            return st
         return {"batch_idx": 0, "catalog": {}, "open_xid": None,
-                "applied_lsn": 0, "metrics": []}
+                "applied_lsn": 0, "metrics": [],
+                "state_version": ENGINE_STATE_VERSION}
 
     def _save_state(self, st: dict) -> None:
+        st.setdefault("state_version", ENGINE_STATE_VERSION)
         _atomic_write(self.state_path, json.dumps(st, indent=1))
 
     def table(self, name: str) -> LakeTable:

@@ -311,3 +311,33 @@ def test_pending_store_replace_never_deletes_referenced_delta(
     assert d2 != d1
     assert not os.path.isdir(os.path.join(eng.pending_dir, d1))
     assert eng._load_pending().count() == 1
+
+
+def test_version_preflight_rejects_stale_state_dir(spark, tmp_path):
+    """Opening a warehouse written by an incompatible engine-state version
+    must fail LOUDLY at load (reference version_preflight.rs analog) — the
+    round-2 failure was a stale pending dir surfacing as an unreadable-
+    parquet crash mid-replay instead."""
+    import json
+
+    import pytest
+
+    import pg_walstream_spark.engine as E
+
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = E.ReplayEngine(spark, wh)
+    eng._save_state(eng._load_state())
+    st = json.load(open(eng.state_path))
+    assert st["state_version"] == E.ENGINE_STATE_VERSION
+
+    # older version stamp -> loud preflight error naming both versions
+    st["state_version"] = E.ENGINE_STATE_VERSION - 1
+    E._atomic_write(eng.state_path, json.dumps(st))
+    with pytest.raises(E.StateVersionError, match="state version"):
+        E.ReplayEngine(spark, wh)._load_state()
+
+    # pre-versioning (missing stamp) state is version 0 -> also rejected
+    del st["state_version"]
+    E._atomic_write(eng.state_path, json.dumps(st))
+    with pytest.raises(E.StateVersionError, match="version 0"):
+        E.ReplayEngine(spark, wh)._load_state()

@@ -37,7 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .lake.table import LakeTable, _atomic_write
-from .operators.compact import compact_changes
+from .operators.compact import compact_changes, dml_images
 from .options import ReplicationOptions
 from .operators.decode import (
     CONTROL_TAGS,
@@ -571,10 +571,6 @@ class ReplayEngine:
         key_types = {n: ty for n, ty in snap["schema"] if n in key_cols}
         data_cols = [(n, ty) for n, ty in snap["schema"]
                      if n not in key_cols]
-        changes = compact_changes(ev, key_cols, data_cols,
-                                  aliases=snap.get("aliases"),
-                                  key_types=key_types)
-        mark("fast_plan")
 
         def _check(_record):
             m = obs.get
@@ -584,12 +580,38 @@ class ReplayEngine:
                     f"other_tables={int(m['other_tables'])}"
                 )
 
+        # Bucket-co-located Arrow merge (lake/merge_kernel.py): one shuffle
+        # of the change rows by bucket; compaction+join+write fused in the
+        # kernel and the target never shuffled. Declarative-plan merge
+        # (compact_changes + LakeTable.merge) stays as the fallback for
+        # tables with rename/column_since history and as the reference
+        # implementation (WALSTREAM_FASTPATH_MERGE=join forces it).
+        from .lake.merge_kernel import bucketed_merge_eligible
+
+        use_kernel = (
+            os.environ.get("WALSTREAM_FASTPATH_MERGE", "bucketed")
+            != "join" and bucketed_merge_eligible(snap)
+        )
         try:
-            trec = t.merge(
-                self.spark, changes, applied_lsn=int(hi_commit),
-                batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
-                pre_commit_check=_check,
-            )
+            if use_kernel:
+                images = dml_images(ev, key_cols, data_cols,
+                                    key_types=key_types)
+                mark("fast_plan")
+                trec = t.merge_bucketed(
+                    self.spark, images, applied_lsn=int(hi_commit),
+                    batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
+                    pre_commit_check=_check,
+                )
+            else:
+                changes = compact_changes(ev, key_cols, data_cols,
+                                          aliases=snap.get("aliases"),
+                                          key_types=key_types)
+                mark("fast_plan")
+                trec = t.merge(
+                    self.spark, changes, applied_lsn=int(hi_commit),
+                    batch_id=f"b{batch_idx}-{uuid.uuid4().hex[:6]}",
+                    pre_commit_check=_check,
+                )
         except _FastPathViolation:
             return None
         mark("fast_merge")

@@ -641,3 +641,142 @@ class LakeTable:
         }
         self._commit(snap2)
         return record
+
+    def merge_bucketed(
+        self,
+        spark: SparkSession,
+        images: DataFrame,
+        applied_lsn: int,
+        batch_id: int | str = 0,
+        extra_properties: dict | None = None,
+        pre_commit_check=None,
+    ) -> dict:
+        """Exactly-once MERGE via the bucket-co-located Arrow kernel
+        (lake/merge_kernel.py) — same contract and lineage record shape as
+        ``merge``, but takes the PRE-compaction ``dml_images`` rows (key
+        cols + value cols + per-column ``_t_<c>`` toast flags + ord cols).
+
+        One shuffle (change rows, by bucket); the target is read locally
+        inside the kernel and never shuffled; compaction, join, TOAST
+        carry and the parquet write all happen in one vectorized pass per
+        bucket. Buckets without changes are untouched. Requires
+        ``bucketed_merge_eligible(snapshot)`` — rename/column_since
+        history needs the general read path and falls back to ``merge``.
+        """
+        from .. import ensure_shipped
+        from .merge_kernel import (
+            STATS_DDL, bucketed_merge_eligible, make_merge_kernel,
+        )
+
+        t0 = time.monotonic()
+        phase = {}
+
+        def _mark(name):
+            nonlocal t0
+            now = time.monotonic()
+            phase[name] = int((now - t0) * 1000)
+            t0 = now
+
+        snap = self.snapshot()
+        fence = int(snap["properties"].get("applied_lsn", 0))
+        if applied_lsn <= fence:
+            return {"batch_id": batch_id, "skipped": True, "fence": fence,
+                    "applied_lsn": applied_lsn}
+        if not bucketed_merge_eligible(snap):
+            raise ValueError(
+                "table has rename/column_since history or unmapped types; "
+                "use the general merge")
+
+        key_cols = snap["key_columns"]
+        n_buckets = snap["n_buckets"]
+        schema = [(n, ty) for n, ty in snap["schema"]]
+        ensure_shipped(spark)
+
+        # partition count: one bucket per task at cluster scale; locally a
+        # couple of tasks per core keeps per-task kernel overhead bounded
+        p_env = os.environ.get("WALSTREAM_MERGE_TASKS")
+        if p_env:
+            n_parts = max(1, int(p_env))
+        else:
+            par = spark.sparkContext.defaultParallelism
+            n_parts = max(1, min(n_buckets, par * 2))
+
+        out_dir = os.path.join(
+            self.data_dir, f"s{snap['version'] + 1}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(out_dir, exist_ok=True)
+        codec = os.environ.get("WALSTREAM_LAKE_CODEC", "zstd")
+        fn = make_merge_kernel(
+            {str(b): list(fl) for b, fl in snap["files"].items()},
+            schema, key_cols, out_dir, codec)
+        rep = images.withColumn(
+            "_bucket", self._bucket_expr(key_cols, n_buckets)
+        ).repartition(n_parts, "_bucket")
+        _mark("plan_build_ms")
+        stats = rep.mapInArrow(fn, STATS_DDL).collect()
+        _mark("join_write_ms")
+
+        by_bucket = {int(r["bucket"]): r for r in stats
+                     if int(r["bucket"]) >= 0}
+        nk = sum(int(r["nk"]) for r in stats)
+        n_up = sum(int(r["u"]) for r in by_bucket.values())
+        n_del = sum(int(r["d"]) for r in by_bucket.values())
+        n_out = sum(int(r["rows_written"]) for r in by_bucket.values())
+        n_target = sum(int(r["n_target"]) for r in by_bucket.values())
+        del_applied = sum(int(r["del_applied"]) for r in by_bucket.values())
+        ins_new = sum(int(r["ins_new"]) for r in by_bucket.values())
+        # the kernel asserts conservation per bucket before writing; this
+        # is the driver-side restatement guarding stats-row loss/dup
+        if n_out != n_target - del_applied + ins_new:
+            raise RuntimeError(
+                f"MERGE stats inconsistent (batch {batch_id}, table "
+                f"{self.root}): {n_target} target - {del_applied} deletes "
+                f"+ {ins_new} inserts != {n_out} written")
+
+        files = dict(snap["files"])
+        for b, r in by_bucket.items():
+            if r["file"]:
+                files[str(b)] = [r["file"]]
+            else:
+                files.pop(str(b), None)
+
+        record = {
+            "batch_id": batch_id,
+            "applied_lsn": applied_lsn,
+            "upserts": n_up,
+            "deletes": n_del,
+            "null_key_quarantined": nk,
+            "target_rows": n_target,
+            "rows_written": n_out,
+            "buckets_rewritten": sorted(by_bucket),
+            "truncated": False,
+            "merge_kernel": True,
+            "wall_ms": sum(phase.values()),
+            "phase_ms": phase,
+            "skipped": False,
+        }
+        if pre_commit_check is not None:
+            try:
+                pre_commit_check(record)
+            except Exception:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise
+        snap2 = {
+            "version": snap["version"] + 1,
+            "schema": snap["schema"],
+            "key_columns": key_cols,
+            "n_buckets": n_buckets,
+            "aliases": snap.get("aliases", {}),
+            "dropped_names": snap.get("dropped_names", []),
+            "column_since": snap.get("column_since", {}),
+            "files": files,
+            "properties": {
+                **snap["properties"],
+                "applied_lsn": int(applied_lsn),
+                **(extra_properties or {}),
+            },
+            "lineage": _append_lineage(snap["lineage"], record),
+        }
+        self._commit(snap2)
+        return record

@@ -69,58 +69,61 @@ def dml_images(events: DataFrame, key_columns: list[str],
         return f"CAST({out} AS {ty})" if ty else out
 
     is_del = "event_type = 'delete'"
-    key_exprs = [
-        f"CASE WHEN {is_del} THEN {_ma('old_data', k)} "
-        f"ELSE {_ma('new_data', k)} END AS {_qi(k)}"
-        for k in key_columns
+    base_fields = [
+        ("commit_lsn", "commit_lsn"),
+        ("seq", "seq"),
+        ("_op", f"CASE WHEN {is_del} THEN 'delete' ELSE 'upsert' END"),
     ]
-    val_exprs = []
+    for k in key_columns:
+        base_fields.append((k, f"CASE WHEN {is_del} THEN {_ma('old_data', k)} "
+                               f"ELSE {_ma('new_data', k)} END"))
     for c, ty in data_columns:
-        val_exprs.append(
-            f"CAST({_ma('new_data', c)} AS {ty}) AS {_qi(c)}"
-        )
+        base_fields.append((c, f"CAST({_ma('new_data', c)} AS {ty})"))
         flags = [
             "coalesce(array_contains(coalesce(new_toast, array()), "
             f"{_qs(a)}), false)"
             for a in [c] + list(aliases.get(c, []))
         ]
-        val_exprs.append(
-            f"({' OR '.join(flags)}) AS {_qi('_t_' + c)}"
-        )
-    base = events.selectExpr(
-        "commit_lsn",
-        "seq",
-        f"CASE WHEN {is_del} THEN 'delete' ELSE 'upsert' END AS _op",
-        *key_exprs,
-        *val_exprs,
-    )
+        base_fields.append(("_t_" + c, f"({' OR '.join(flags)})"))
+    base_struct = "named_struct(" + ", ".join(
+        f"{_qs(n)}, {e}" for n, e in base_fields) + ")"
 
-    # key-changing updates → synthetic delete of the old key (ordered just
-    # before the new image within the same (commit_lsn, seq) slot). A
-    # keyless table (replica identity over zero columns) has no key to
-    # change — the branch would otherwise build an unparsable empty filter
-    # and index key_columns[0]
+    # A keyless table (replica identity over zero columns) has no key to
+    # change — emit the base image only (the old-key branch would otherwise
+    # build an unparsable empty predicate and index key_columns[0])
     if not key_columns:
-        return base
+        return events.selectExpr(*[f"{e} AS {_qi(n)}"
+                                   for n, e in base_fields])
+
+    # key-changing updates → synthetic delete of the old key, emitted from
+    # the SAME scan via inline(array(...)) — a unioned second branch would
+    # re-evaluate the whole upstream subtree (decode kernel included) once
+    # per branch, doubling the decode cost of every uncached batch
+    extra_fields = [
+        ("commit_lsn", "commit_lsn"),
+        ("seq", "seq"),
+        ("_op", "'delete'"),
+    ]
+    for k in key_columns:
+        extra_fields.append((k, _ma("old_data", k)))
+    for c, ty in data_columns:
+        extra_fields.append((c, f"CAST(NULL AS {ty})"))
+        extra_fields.append(("_t_" + c, "false"))
+    extra_struct = "named_struct(" + ", ".join(
+        f"{_qs(n)}, {e}" for n, e in extra_fields) + ")"
     neqs = " OR ".join(
         f"({_ma('old_data', k)} != {_ma('new_data', k)})"
         for k in key_columns
     )
-    changed = events.filter(
-        "event_type = 'update' AND old_data IS NOT NULL "
-        f"AND ({neqs}) AND {_ma('old_data', key_columns[0])} IS NOT NULL"
+    key_changed = (
+        "(event_type = 'update' AND old_data IS NOT NULL "
+        f"AND ({neqs}) AND {_ma('old_data', key_columns[0])} IS NOT NULL)"
     )
-    extra = changed.selectExpr(
-        "commit_lsn",
-        "seq",
-        "'delete' AS _op",
-        *[f"{_ma('old_data', k)} AS {_qi(k)}" for k in key_columns],
-        *[e for c, ty in data_columns for e in (
-            f"CAST(NULL AS {ty}) AS {_qi(c)}",
-            f"false AS {_qi('_t_' + c)}",
-        )],
+    return events.selectExpr(
+        f"inline(CASE WHEN {key_changed} "
+        f"THEN array({extra_struct}, {base_struct}) "
+        f"ELSE array({base_struct}) END)"
     )
-    return base.unionByName(extra)
 
 
 def compact_last_image(images: DataFrame, key_columns: list[str],

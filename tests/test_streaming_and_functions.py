@@ -398,3 +398,121 @@ def test_streaming_keepalives_advance_max_seq(spark, tmp_path):
     assert int(st["max_seq"]) == frames.num_rows - 1
     assert st.get("held_frames") in (None, [], {})
     assert eng.table("repos").applied_lsn() == b.commit_lsns[-1]
+
+
+def test_chunk_by_rate_unit():
+    """Greedy caps-bounded chunking: no caps → one chunk; frame cap splits
+    at file granularity; an oversized single file still gets its own chunk
+    (progress guarantee); byte cap works independently."""
+    from pg_walstream_spark.streaming import _chunk_by_rate
+
+    spans = [{"path": f"f{i}", "lo": i * 10, "hi": i * 10 + 9, "n": 10,
+              "bytes": 100} for i in range(5)]
+    assert _chunk_by_rate(spans, None, None) == [spans]
+    by20 = _chunk_by_rate(spans, 20, None)
+    assert [len(c) for c in by20] == [2, 2, 1]
+    assert [s["path"] for c in by20 for s in c] == [s["path"] for s in spans]
+    # cap below a single file: one file per chunk, never an empty chunk
+    assert [len(c) for c in _chunk_by_rate(spans, 5, None)] == [1] * 5
+    assert [len(c) for c in _chunk_by_rate(spans, None, 250)] == [2, 2, 1]
+
+
+def test_rate_limited_ingest_matches_golden_and_reports_lag(spark, tmp_path):
+    """Rate-limited ingest (max_frames_per_batch) splits one trigger's
+    files into several fenced micro-batch applies — including chunk
+    boundaries that cut transactions in half (open txn rides the pending
+    store into the next chunk) — and the final lake state still equals the
+    sequential golden applier. The ingest health metric reports the chunk
+    count and drain rate."""
+    from pg_walstream_spark.streaming import ingest_frames_batch
+
+    base, b = wg.gen_mixed_dml(n_base=60, n_txns=8, ops_per_txn=6)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=25)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bases = {"repos": base.slice(0, 30), "repos_full": base.slice(30)}
+    for n, t in bases.items():
+        p = os.path.join(str(tmp_path), f"{n}.parquet")
+        wg.write_base(t, p)
+        eng.bootstrap_table(n, spark.read.parquet(p), ["repo", "path"], 8)
+
+    seen_ranges = []
+    orig = eng.process_batch
+
+    def spy(frames_df, batch_idx, st, **kw):
+        seen_ranges.append(kw.get("seq_range"))
+        return orig(frames_df, batch_idx, st, **kw)
+
+    eng.process_batch = spy
+    df = spark.read.parquet(frames_dir)
+    rec = ingest_frames_batch(eng, df, 0, max_frames_per_batch=30)
+
+    n_files = len(os.listdir(frames_dir))
+    assert len(seen_ranges) > 1, "cap should force multiple chunks"
+    # chunks partition the full seq range contiguously, in order
+    assert seen_ranges[0][0] == 0
+    for (_lo, prev_hi), (lo, _hi) in zip(seen_ranges, seen_ranges[1:]):
+        assert lo == prev_hi + 1
+    assert seen_ranges[-1][1] == frames.num_rows - 1
+    assert rec["chunks"] == len(seen_ranges)
+
+    for tname in ("repos", "repos_full"):
+        golden_rows, glsn = golden_final_state(bases, frames, tname)
+        got = sorted((r["repo"], r["path"], r["content"])
+                     for r in eng.table(tname).read(spark).collect())
+        assert got == sorted(
+            (r["repo"], r["path"], r["content"]) for r in golden_rows)
+        assert eng.table(tname).applied_lsn() == glsn
+
+    st = eng._load_state()
+    ing = st["ingest"]
+    assert ing["chunks"] == len(seen_ranges)
+    assert ing["frames"] == frames.num_rows
+    assert ing["lag_frames"] == 0 and ing["lag_spans"] == 0
+    assert ing["frames_per_sec"] > 0
+    kinds = [r["kind"] for r in eng.metrics_df().collect()]
+    assert any(k.startswith("ingest frames=") for k in kinds)
+    assert n_files >= 2
+
+
+def test_rate_limited_stream_e2e_bytes_cap(spark, tmp_path):
+    """End-to-end availableNow stream with a bytes-per-batch cap small
+    enough to force chunking inside every trigger; final state matches
+    golden and the stream drains completely (no stranded files — chunking
+    must not defer work to a trigger that never comes)."""
+    base, b = wg.gen_mixed_dml(n_base=40, n_txns=6, ops_per_txn=5)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=20)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bases = {"repos": base.slice(0, 20), "repos_full": base.slice(20)}
+    for n, t in bases.items():
+        p = os.path.join(str(tmp_path), f"{n}.parquet")
+        wg.write_base(t, p)
+        eng.bootstrap_table(n, spark.read.parquet(p), ["repo", "path"], 8)
+
+    q = start_stream(
+        spark, frames_dir, wh,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=4,
+        max_bytes_per_batch=1,  # below any file size: one file per chunk
+    )
+    q.awaitTermination(300)
+
+    for tname in ("repos", "repos_full"):
+        golden_rows, glsn = golden_final_state(bases, frames, tname)
+        got = sorted((r["repo"], r["path"], r["content"])
+                     for r in eng.table(tname).read(spark).collect())
+        assert got == sorted(
+            (r["repo"], r["path"], r["content"]) for r in golden_rows)
+        # per-table fence only advances with a chunk that touches the
+        # table (a 1-file final chunk may carry DML for just one table) —
+        # the global LSN feedback in engine state is the slot cursor
+        assert eng.table(tname).applied_lsn() <= glsn
+    st = eng._load_state()
+    assert int(st["applied_lsn"]) == glsn
+    assert int(st["max_seq"]) == frames.num_rows - 1
+    assert st["ingest"]["chunks"] >= 1

@@ -64,27 +64,70 @@ def tune_input_splits(spark: SparkSession, paths) -> None:
     non-local paths (cluster deployments size this via submit conf)."""
     import glob as _glob
 
-    total = 0
+    sizes = []
     try:
         for p in paths:
             p = p[7:] if p.startswith("file://") else p
             if os.path.isdir(p):
                 for f in _glob.glob(os.path.join(p, "*.parquet")):
-                    total += os.path.getsize(f)
+                    sizes.append(os.path.getsize(f))
             elif os.path.isfile(p):
-                total += os.path.getsize(p)
+                sizes.append(os.path.getsize(p))
     except OSError:
         return
+    total = sum(sizes)
     if not total:
         return
     cores = spark.sparkContext.defaultParallelism
-    # ~2 waves per core (sweep: 2-3 tasks/core is the sweet spot at this
-    # kernel's per-task fixed cost; one-task-per-file fragments into ~50 ms
-    # scheduling+Arrow-setup overhead per task and regresses ~40%)
-    tgt = max(8 << 20, min(128 << 20, total // max(cores * 2, 1)))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
-    spark.conf.set("spark.sql.files.openCostInBytes",
-                   str(min(1 << 20, tgt // 4)))
+
+    # Pick maxPartitionBytes by SIMULATING Spark's split packing (sort
+    # desc, close a partition when adding the next split would exceed the
+    # cap) and scoring the resulting stage: wave quantization — a task
+    # count that leaves the last wave half-empty idles those cores for a
+    # whole wave — against per-task fixed cost (~50 ms scheduling + Arrow
+    # setup; one-task-per-file measured 40% slower). File granularity
+    # makes this discrete: "total/(2*cores)" regularly packs into e.g. 10
+    # bins at 4 cores (a 2.5-wave stage at 83% utilization) when a
+    # slightly larger cap gives 8 bins at 100%.
+    oc = 256 << 10
+    desc = sorted(sizes, reverse=True)
+
+    def _bins(cap: int) -> int:
+        nbins, cur = 0, None
+        for s in desc:
+            if cur is None or cur + s > cap:
+                nbins += 1
+                cur = 0
+            cur += s + oc
+        return nbins
+
+    best = None
+    for waves in (2, 3, 4):
+        t_target = waves * cores
+        if t_target > len(sizes):
+            continue
+        cap = max(total // t_target, max(desc))
+        # grow the cap until the packing fits the target task count (the
+        # remainder otherwise spills into an extra, mostly-empty wave)
+        for _ in range(8):
+            n = _bins(cap)
+            if n <= t_target:
+                break
+            cap = int(cap * 1.15)
+        n = _bins(cap)
+        w = -(-n // cores)
+        util = n / (w * cores)
+        # ~50 ms fixed cost per task vs ~linear scan time per byte: favor
+        # full waves first, then fewer tasks
+        score = (util, -w, -n)
+        if best is None or score > best[0]:
+            best = (score, cap)
+    if best is None:
+        cap = max(8 << 20, min(128 << 20, total // max(cores * 2, 1)))
+    else:
+        cap = max(4 << 20, min(256 << 20, best[1]))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(cap)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(oc))
 
 
 # Engine state is re-read/rewritten every batch: an unbounded per-batch

@@ -666,6 +666,7 @@ class LakeTable:
         from .. import ensure_shipped
         from .merge_kernel import (
             STATS_DDL, bucketed_merge_eligible, make_merge_kernel,
+            partition_salts,
         )
 
         t0 = time.monotonic()
@@ -699,7 +700,17 @@ class LakeTable:
             n_parts = max(1, int(p_env))
         else:
             par = spark.sparkContext.defaultParallelism
-            n_parts = max(1, min(n_buckets, par * 2))
+            n0 = max(1, min(n_buckets, par * 2))
+            # prefer a divisor of n_buckets so the salted routing below
+            # spreads buckets exactly evenly over partitions — but never
+            # at the cost of real parallelism (a prime bucket count would
+            # walk down to 1 task): outside 2/3 of the target, keep the
+            # target and let the plain hash route
+            n_parts = n0
+            while n_buckets % n_parts:
+                n_parts -= 1
+            if n_parts * 3 < n0 * 2:
+                n_parts = n0
 
         out_dir = os.path.join(
             self.data_dir, f"s{snap['version'] + 1}-{uuid.uuid4().hex[:8]}")
@@ -708,9 +719,23 @@ class LakeTable:
         fn = make_merge_kernel(
             {str(b): list(fl) for b, fl in snap["files"].items()},
             schema, key_cols, out_dir, codec)
-        rep = images.withColumn(
-            "_bucket", self._bucket_expr(key_cols, n_buckets)
-        ).repartition(n_parts, "_bucket")
+        withb = images.withColumn(
+            "_bucket", self._bucket_expr(key_cols, n_buckets))
+        salts = partition_salts(n_parts)
+        if salts is not None and n_buckets % n_parts == 0:
+            # exact bucket→partition routing: residue class p of _bucket
+            # repartitions on a salt whose murmur3 lands in partition p,
+            # so every partition carries exactly n_buckets/n_parts buckets
+            # (plain hash-of-_bucket collides classes: measured 0.16-2.37 s
+            # reduce tasks at 16→8, a ~20% stage stretch)
+            case = ("CASE pmod(_bucket, {P}) ".format(P=n_parts)
+                    + " ".join(f"WHEN {p} THEN {s}"
+                               for p, s in enumerate(salts))
+                    + " END")
+            rep = withb.repartition(
+                n_parts, F.expr(f"CAST(({case}) AS INT)"))
+        else:
+            rep = withb.repartition(n_parts, "_bucket")
         _mark("plan_build_ms")
         stats = rep.mapInArrow(fn, STATS_DDL).collect()
         _mark("join_write_ms")

@@ -323,6 +323,30 @@ def run_transport_bench() -> dict:
     }
 
 
+def _steal_probe() -> float:
+    """Seconds for a FIXED single-thread numpy workload (min of 3 reps).
+
+    An independent interference detector: this box suffers multi-minute
+    hypervisor-steal windows that inflate wall times up to ~2x. Probing
+    between replay runs tells whether the adjacent measurement sat in one
+    WITHOUT looking at the measurement itself (excluding rounds by their
+    own result would bias the statistic). Elementwise numpy stays on one
+    thread regardless of the session's core count, so the probe reads the
+    same at local[1] and local[32]."""
+    import numpy as _np
+
+    a = _np.arange(2_000_000, dtype=_np.float64) * 1e-6
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        s = 0.0
+        for _ in range(8):
+            s += float(_np.sum(_np.sin(a) * a + _np.sqrt(a)))
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main():
     t_total = time.monotonic()
     frames, base_p, n_events = ensure_fixture()
@@ -345,8 +369,15 @@ def main():
     # Pairs with efficiency > 1.0 are discarded as corrupted measurements
     # (4x cores cannot beat 4x speedup; a burst hit the small-core side).
     rounds = int(os.environ.get("BENCH_ROUNDS", "8"))
+    # steal probes bracket every replay run: a pair's efficiency only
+    # enters the HEADLINE median if no probe spanning its two runs
+    # deviates from the session floor (independent interference gate —
+    # see _steal_probe). All pairs and all probes are published either way.
+    round_probes: list[list[float]] = [[_steal_probe()]]
     t_small, dn_s, ddt_s = run_replay(N_SMALL, frames, base_p, n_events)
+    round_probes[-1].append(_steal_probe())
     t_big, dn_b, ddt_b = run_replay(N_BIG, frames, base_p, n_events)
+    round_probes[-1].append(_steal_probe())
     # interleave pair members back-to-back: (N, 4N) then (2N, 8N)
     levels = [N_SMALL, N_BIG, 2 * N_SMALL, 8 * N_SMALL]
     order = []
@@ -355,10 +386,12 @@ def main():
             order.append(lvl)
     times = {N_SMALL: [t_small], N_BIG: [t_big]}
     for _ in range(rounds - 1):
+        round_probes.append([_steal_probe()])
         for lvl in order:
             t, _, _ = run_replay(lvl, frames, base_p, n_events,
                                  with_decode=False)
             times.setdefault(lvl, []).append(t)
+            round_probes[-1].append(_steal_probe())
     best = {lvl: min(ts) for lvl, ts in times.items()}
     t_small = best[N_SMALL]
     t_big = best[N_BIG]
@@ -368,23 +401,41 @@ def main():
         t_eight, _, _ = run_replay(8, frames, base_p, n_events,
                                    with_decode=False)
 
-    def _paired_eff(lo_lvl, hi_lvl):
+    probe_floor = min(min(pr) for pr in round_probes)
+    probe_thr = float(os.environ.get("BENCH_PROBE_THRESH", "1.2"))
+
+    def _round_clean(pr: list[float], i: int, j: int) -> bool:
+        span = pr[i:j + 2]  # probes bracketing runs i..j of the round
+        return bool(span) and all(p <= probe_thr * probe_floor
+                                  for p in span)
+
+    def _paired_eff(lo_lvl, hi_lvl, run_i, run_j):
         lo, hi = times.get(lo_lvl, []), times.get(hi_lvl, [])
         pairs = [a / (4 * b) for a, b in zip(lo, hi)]
+        # round 0 only runs the (N, 4N) pair, so the (2N, 8N) series is
+        # offset by one round relative to round_probes
+        off = len(round_probes) - len(pairs)
+        clean = [_round_clean(round_probes[i + off], run_i, run_j)
+                 for i in range(len(pairs))]
         valid = [p for p in pairs if p <= 1.0]
-        return (round(_median(valid), 3) if valid else None,
+        cv = [p for p, c in zip(pairs, clean) if p <= 1.0 and c]
+        vals = cv if len(cv) >= 3 else valid
+        return (round(_median(vals), 3) if vals else None,
                 round(max(valid), 3) if valid else None,
-                [round(p, 3) for p in pairs])
+                [round(p, 3) for p in pairs],
+                clean, len(cv))
 
     thr_small = n_events / t_small
     thr_big = n_events / t_big
     efficiency = (thr_big / thr_small) / (N_BIG / N_SMALL)
-    eff_paired, eff_paired_best, eff_pairs_all = _paired_eff(N_SMALL, N_BIG)
+    (eff_paired, eff_paired_best, eff_pairs_all,
+     clean_1_4, n_clean_1_4) = _paired_eff(N_SMALL, N_BIG, 0, 1)
     eff_2_8 = None
     if 2 * N_SMALL in best and 8 * N_SMALL in best:
         eff_2_8 = (best[2 * N_SMALL] / best[8 * N_SMALL]) / 4
-    eff_2_8_paired, eff_2_8_best, eff_2_8_pairs = _paired_eff(
-        2 * N_SMALL, 8 * N_SMALL
+    (eff_2_8_paired, eff_2_8_best, eff_2_8_pairs,
+     clean_2_8, n_clean_2_8) = _paired_eff(
+        2 * N_SMALL, 8 * N_SMALL, 2, 3
     )
     dthr_small = dn_s / ddt_s
     dthr_big = dn_b / ddt_b
@@ -460,6 +511,14 @@ def main():
                 str(lvl): [round(t, 3) for t in ts]
                 for lvl, ts in sorted(times.items())
             },
+            "steal_probes": [[round(p, 3) for p in pr]
+                             for pr in round_probes],
+            "probe_floor": round(probe_floor, 3),
+            "probe_threshold": probe_thr,
+            "clean_pairs_1_4": clean_1_4,
+            "clean_pairs_2_8": clean_2_8,
+            "n_clean_1_4": n_clean_1_4,
+            "n_clean_2_8": n_clean_2_8,
         },
         "query_runs": qruns,
         "query_rounds": int(os.environ.get("BENCH_QUERY_ROUNDS", "3")),
@@ -523,6 +582,16 @@ def main():
             "Min-based takes each level's best across all rounds. The "
             "full per-round table above publishes every measurement, "
             "dropped or not.\n\n"
+            "Steal gate: a fixed single-thread numpy probe runs between "
+            "every replay (an interference detector independent of the "
+            "measurements themselves). A pair enters the headline median "
+            f"only if every probe bracketing its two runs is within "
+            f"{probe_thr:.2f}x of the session floor "
+            f"({probe_floor:.3f}s); fewer than 3 clean pairs falls back "
+            "to all valid pairs. This round: "
+            f"{n_clean_1_4} clean 1→4 pairs (mask {clean_1_4}), "
+            f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}); probes "
+            "per round in BENCH_LATEST.json `steal_probes`.\n\n"
             + (
                 f"Scaling efficiency on the {2 * N_SMALL} → {8 * N_SMALL} "
                 f"pair (published alongside so the basis choice is "

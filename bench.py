@@ -402,7 +402,10 @@ def main():
                                    with_decode=False)
 
     probe_floor = min(min(pr) for pr in round_probes)
-    probe_thr = float(os.environ.get("BENCH_PROBE_THRESH", "1.2"))
+    # 1.3: the probe's own min-of-3 spread inside a verified-clean round
+    # is ~13% (0.167-0.189 s), so the cutoff must sit above that; real
+    # steal bursts measure 1.4-1.9x the floor
+    probe_thr = float(os.environ.get("BENCH_PROBE_THRESH", "1.3"))
 
     def _round_clean(pr: list[float], i: int, j: int) -> bool:
         span = pr[i:j + 2]  # probes bracketing runs i..j of the round
@@ -419,7 +422,10 @@ def main():
                  for i in range(len(pairs))]
         valid = [p for p in pairs if p <= 1.0]
         cv = [p for p, c in zip(pairs, clean) if p <= 1.0 and c]
-        vals = cv if len(cv) >= 3 else valid
+        # steal-contaminated pairs are not a fallback of equal standing:
+        # use the probe-clean pairs whenever at least 2 exist, the full
+        # valid set only when the whole session was hazy
+        vals = cv if len(cv) >= 2 else valid
         return (round(_median(vals), 3) if vals else None,
                 round(max(valid), 3) if valid else None,
                 [round(p, 3) for p in pairs],
@@ -587,7 +593,7 @@ def main():
             "measurements themselves). A pair enters the headline median "
             f"only if every probe bracketing its two runs is within "
             f"{probe_thr:.2f}x of the session floor "
-            f"({probe_floor:.3f}s); fewer than 3 clean pairs falls back "
+            f"({probe_floor:.3f}s); fewer than 2 clean pairs falls back "
             "to all valid pairs. This round: "
             f"{n_clean_1_4} clean 1→4 pairs (mask {clean_1_4}), "
             f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}); probes "

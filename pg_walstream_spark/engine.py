@@ -711,6 +711,29 @@ class ReplayEngine:
                                 int(seq_range[1]))
         _append_metrics(st, rec)
         self._save_state(st)
+        self._maybe_expire(batch_idx)
+
+    EXPIRE_EVERY = int(os.environ.get("WALSTREAM_EXPIRE_EVERY", "64"))
+    EXPIRE_KEEP = int(os.environ.get("WALSTREAM_EXPIRE_KEEP", "64"))
+
+    def _maybe_expire(self, batch_idx: int) -> None:
+        """Periodic snapshot expiry: without it every merge's superseded
+        bucket files stay on disk forever and a long-running stream grows
+        the warehouse without bound. Runs every EXPIRE_EVERY batches,
+        keeping EXPIRE_KEEP versions per table (WALSTREAM_EXPIRE_EVERY=0
+        disables for deployments wanting unbounded time travel). Driver-
+        local file ops; cost is proportional to the retained window, which
+        expiry itself keeps bounded."""
+        if self.EXPIRE_EVERY <= 0 or (batch_idx + 1) % self.EXPIRE_EVERY:
+            return
+        for name in self.tables():
+            t = self.table(name)
+            stats = t.expire_snapshots(self.EXPIRE_KEEP)
+            if stats["snapshots_deleted"] or stats["files_deleted"]:
+                t.log_event({"event": "expire_snapshots", **{
+                    k: stats[k] for k in (
+                        "expired_before_version", "snapshots_deleted",
+                        "files_deleted", "bytes_deleted")}})
 
     # ------------------------------------------------------------- one batch
 
@@ -1102,6 +1125,7 @@ class ReplayEngine:
             }
             _append_metrics(st, rec)
             self._save_state(st)
+            self._maybe_expire(batch_idx)
             return rec
         finally:
             if released is not None:

@@ -104,12 +104,17 @@ class LakeTable:
             return json.load(f)
 
     def history(self) -> list[dict]:
+        # versions below the expiry horizon are gone: walk whatever
+        # v*.json files exist, in version order
+        vs = sorted(
+            int(f[1:-5]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+            and f[1:-5].isdigit()
+        ) if os.path.isdir(self.meta_dir) else []
         out = []
-        v = 1
-        while os.path.exists(os.path.join(self.meta_dir, f"v{v}.json")):
+        for v in vs:
             with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
                 out.append(json.load(f))
-            v += 1
         return out
 
     def applied_lsn(self) -> int:
@@ -805,3 +810,83 @@ class LakeTable:
         }
         self._commit(snap2)
         return record
+
+    # ----------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 64) -> dict:
+        """Delete snapshot metadata and data files older than the last
+        ``keep_last`` versions. Without expiry every MERGE leaves the
+        previous version's bucket files on disk forever — a warehouse
+        replaying 10^6 micro-batches would hold 10^6 full table copies,
+        so bounded retention is what lets the engine run indefinitely
+        (same role as Iceberg's expire_snapshots / Delta VACUUM).
+
+        Safety properties:
+        - files referenced by ANY kept snapshot are never deleted (the
+          live set is computed from the kept metadata, not from age);
+        - data directories of versions NEWER than CURRENT (an in-flight
+          merge's pre-commit write) are never touched;
+        - a crash mid-expiry only leaves orphans that the next expiry
+          removes — kept snapshots stay fully readable throughout
+          (data files are deleted before their referencing metadata, so
+          no surviving metadata ever points at a deleted file).
+        """
+        import glob as _glob
+        import re as _re
+
+        current = self._current_version()
+        cutoff = current - max(1, int(keep_last)) + 1
+        live: set[str] = set()
+        kept = 0
+        for v in range(max(1, cutoff), current + 1):
+            p = os.path.join(self.meta_dir, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            kept += 1
+            with open(p) as f:
+                snap = json.load(f)
+            for fl in snap.get("files", {}).values():
+                live.update(fl)
+        files_deleted = bytes_deleted = 0
+        ver_re = _re.compile(r"^s(\d+)-")
+        for d in sorted(_glob.glob(os.path.join(self.data_dir, "s*-*"))):
+            m = ver_re.match(os.path.basename(d))
+            if not m or int(m.group(1)) > current:
+                continue  # in-flight (pre-commit) writes are not ours
+            empty = True
+            for root, _dirs, names in os.walk(d, topdown=False):
+                for n in names:
+                    p = os.path.join(root, n)
+                    if p in live:
+                        empty = False
+                        continue
+                    try:
+                        bytes_deleted += os.path.getsize(p)
+                        os.remove(p)
+                        files_deleted += 1
+                    except OSError:
+                        empty = False
+                try:
+                    os.rmdir(root)  # only succeeds when actually empty
+                except OSError:
+                    empty = False
+            if empty and os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+        snaps_deleted = 0
+        for p in _glob.glob(os.path.join(self.meta_dir, "v*.json")):
+            name = os.path.basename(p)[1:-5]
+            if name.isdigit() and int(name) < cutoff:
+                try:
+                    os.remove(p)
+                    snaps_deleted += 1
+                except OSError:
+                    pass
+        return {
+            "expired_before_version": cutoff,
+            "snapshots_kept": kept,
+            "snapshots_deleted": snaps_deleted,
+            "files_deleted": files_deleted,
+            "bytes_deleted": bytes_deleted,
+        }

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -75,7 +76,30 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("metrics", help="print lineage/throughput metrics")
     p.add_argument("--warehouse", required=True)
 
+    p = sub.add_parser(
+        "expire", help="delete snapshots/data older than the last N versions")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--keep-last", type=int, default=64)
+    p.add_argument("--table", default=None,
+                   help="one table (default: all)")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "expire":
+        # driver-local file ops only — no Spark session needed
+        from .lake.table import LakeTable
+
+        tables_dir = os.path.join(args.warehouse, "tables")
+        names = ([args.table] if args.table
+                 else sorted(os.listdir(tables_dir))
+                 if os.path.isdir(tables_dir) else [])
+        out = {}
+        for n in names:
+            t = LakeTable(os.path.join(tables_dir, n))
+            if t.exists:
+                out[n] = t.expire_snapshots(args.keep_last)
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "bootstrap":
         spark = _session("walstream-bootstrap", args.master)

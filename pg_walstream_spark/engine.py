@@ -221,6 +221,12 @@ class ReplayEngine:
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
             )
+        # Observations guard merge invariants; AQE empty-relation
+        # propagation can erase CollectMetrics on runtime-empty writes
+        # (delete-everything batches) — see lake/table.py
+        from .lake.table import _ensure_observation_safe_aqe
+
+        _ensure_observation_safe_aqe(spark)
         self.tables_dir = os.path.join(warehouse, "tables")
         self.state_path = os.path.join(warehouse, "engine_state.json")
         self.pending_dir = os.path.join(warehouse, "pending")
@@ -235,11 +241,21 @@ class ReplayEngine:
         if os.path.exists(self.state_path):
             with open(self.state_path) as f:
                 st = json.load(f)
-            found = int(st.get("state_version", 0))
-            if found != ENGINE_STATE_VERSION:
+            found = st.get("state_version")
+            if found is None and self._pre_version_layout_compatible():
+                # state files written just before versioning was introduced
+                # ARE the v3 layout (the stamp, not the layout, is what was
+                # missing) — stamp and continue rather than refusing a
+                # perfectly compatible warehouse. Only a pending store in
+                # the pre-append-delta format (parquet deltas without a
+                # meta.json manifest) marks a genuinely older layout.
+                st["state_version"] = ENGINE_STATE_VERSION
+                found = ENGINE_STATE_VERSION
+            if found is None or int(found) != ENGINE_STATE_VERSION:
                 raise StateVersionError(
                     f"warehouse {self.warehouse!r} was written by engine "
-                    f"state version {found}, this engine speaks "
+                    f"state version {0 if found is None else int(found)}, "
+                    f"this engine speaks "
                     f"{ENGINE_STATE_VERSION}. Refusing to replay onto an "
                     f"incompatible layout (pending/catalog formats differ). "
                     f"Re-bootstrap into a fresh warehouse, or replay with "
@@ -249,6 +265,20 @@ class ReplayEngine:
         return {"batch_idx": 0, "catalog": {}, "open_xid": None,
                 "applied_lsn": 0, "metrics": [],
                 "state_version": ENGINE_STATE_VERSION}
+
+    def _pre_version_layout_compatible(self) -> bool:
+        """Is an unstamped (pre-version-field) warehouse actually the
+        current layout? The only persisted structure that changed across
+        the unstamped era is the pending store: the append-delta format
+        always carries a ``meta.json`` manifest; delta/parquet content
+        WITHOUT one is the older full-rewrite store and must be refused."""
+        if not os.path.isdir(self.pending_dir):
+            return True
+        entries = [e for e in os.listdir(self.pending_dir)
+                   if not e.startswith(".")]
+        if not entries:
+            return True
+        return os.path.exists(os.path.join(self.pending_dir, "meta.json"))
 
     def _save_state(self, st: dict) -> None:
         st.setdefault("state_version", ENGINE_STATE_VERSION)

@@ -162,6 +162,17 @@ def bucketed_merge_eligible(snap: dict) -> bool:
                for _, ty in snap["schema"])
 
 
+def _bound_arrow_pool() -> None:
+    """Cap Arrow's global thread pool inside executor Python workers: the
+    default pool is CPU-wide, so N concurrent tasks x N-thread pools
+    oversubscribes quadratically at high parallelism (the local[32] driver
+    condition). 2 threads is enough to keep the Acero task queue draining
+    without a dedicated scheduler stall."""
+    want = int(os.environ.get("WALSTREAM_KERNEL_ARROW_CPUS", "2"))
+    if pa.cpu_count() != want:
+        pa.set_cpu_count(want)
+
+
 def _np_bool(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -242,7 +253,11 @@ def _conform_target(files: list[str], schema: pa.Schema) -> pa.Table:
         return schema.empty_table()
     parts = []
     for f in files:
-        t = pq.read_table(f)
+        # use_threads=False: this runs inside an executor Python worker —
+        # N concurrent tasks each spinning Arrow's default CPU-wide pool
+        # oversubscribes the box at high parallelism (local[32] = 32 workers
+        # x 32-thread pools), and the reads are per-bucket-sized anyway
+        t = pq.read_table(f, use_threads=False)
         cols = []
         for field in schema:
             if field.name in t.column_names:
@@ -262,9 +277,29 @@ def _merge_one_bucket(changes: pa.Table, target: pa.Table,
     """Full-outer merge of one bucket's compacted changes with its target
     rows; writes the surviving rows (if any) to ``out_path``."""
     n_target = target.num_rows
-    marked = target.append_column("__t", pa.array([True] * n_target))
+    # explicit bool type: pa.array([True]*0) infers NULL type and Acero
+    # rejects null non-key fields — a fileless bucket (sparse bootstrap, or
+    # emptied by deletes then re-inserted) would crash the whole batch
+    marked = target.append_column(
+        "__t", pa.array(np.ones(n_target, dtype=bool), type=pa.bool_()))
+    # conform change-side KEY columns to the snapshot-declared type before
+    # the join (mirrors the __c_ data-column conform below): Spark's Arrow
+    # transfer can differ in tz annotation / width, and mismatched key
+    # types fail or mis-join inside Acero
+    for k in key_cols:
+        kt = target.schema.field(k).type
+        if changes.column(k).type != kt:
+            changes = changes.set_column(
+                changes.schema.get_field_index(k), k,
+                pc.cast(changes.column(k), kt))
+    # threaded Acero scheduler (pool bounded per worker by
+    # _bound_arrow_pool): the serial scheduler (use_threads=False) has a
+    # deadlock history in Acero and was the prime suspect in a stuck
+    # 7-of-8-tasks replay stage under driver conditions; the bounded
+    # threaded pool avoids both that and CPU oversubscription
+    use_threads = os.environ.get("WALSTREAM_KERNEL_JOIN_THREADS", "1") == "1"
     joined = marked.join(changes, keys=key_cols, join_type="full outer",
-                         use_threads=False).combine_chunks()
+                         use_threads=use_threads).combine_chunks()
     m = joined.num_rows
     t_present = _np_bool(pc.is_valid(joined.column("__t")))
     op = joined.column("__op")
@@ -319,6 +354,7 @@ def make_merge_kernel(bucket_files: dict[str, list[str]],
         [(n, spark_type_to_arrow(ty)) for n, ty in schema])
 
     def fn(batches):
+        _bound_arrow_pool()
         chunks = [pa.Table.from_batches([b]) for b in batches]
         if not chunks:
             return

@@ -82,6 +82,25 @@ def _append_lineage(lineage: list[dict], record: dict,
     return ([rollup] if rollup["n_rolled"] else []) + rest
 
 
+_AQE_EMPTY_RULE = ("org.apache.spark.sql.execution.adaptive."
+                   "AQEPropagateEmptyRelation")
+
+
+def _ensure_observation_safe_aqe(spark) -> None:
+    """AQE's empty-relation propagation replaces a runtime-empty final
+    stage with an empty LocalRelation, ERASING CollectMetrics nodes — an
+    Observation on such a plan never fires and ``obs.get`` asserts. A
+    delete-everything merge batch hits exactly this (written set empty at
+    runtime), so every session driving Observation-guarded merges excludes
+    the rule. Pinned by test_merge_kernel.py::
+    test_kernel_bucket_emptied_then_reinserted (general-path leg)."""
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    cur = spark.conf.get(key, None) or ""
+    rules = [r for r in cur.split(",") if r]
+    if _AQE_EMPTY_RULE not in rules:
+        spark.conf.set(key, ",".join(rules + [_AQE_EMPTY_RULE]))
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = root
@@ -119,6 +138,23 @@ class LakeTable:
 
     def applied_lsn(self) -> int:
         return int(self.snapshot()["properties"].get("applied_lsn", 0))
+
+    # Snapshot metadata records data-file paths RELATIVE to the table root
+    # (like Iceberg manifests record location-relative paths): a warehouse
+    # that is moved, re-mounted, or reached through a different spelling
+    # (symlink, ./ prefix) keeps reading and — critically — keeps expiring
+    # safely. Absolute paths in pre-round-6 snapshots still resolve via the
+    # _abs passthrough.
+
+    def _rel(self, p: str) -> str:
+        root = os.path.abspath(self.root)
+        ap = os.path.abspath(p)
+        if ap == root or ap.startswith(root + os.sep):
+            return os.path.relpath(ap, root)
+        return p
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
 
     def _commit(self, snap: dict) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -336,7 +372,7 @@ class LakeTable:
             str(b): snap["files"].get(str(b), []) for b in buckets
         }
         for fl in sel.values():
-            files.extend(fl)
+            files.extend(self._abs(f) for f in fl)
         ddl = self._spark_schema_ddl(snap)
         if not files:
             return spark.createDataFrame([], ddl)
@@ -401,7 +437,8 @@ class LakeTable:
             b = entry.split("=", 1)[1]
             d = os.path.join(out_dir, entry)
             files[b] = sorted(
-                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+                self._rel(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")
             )
         return files
 
@@ -440,6 +477,7 @@ class LakeTable:
         """
         from pyspark.sql import Observation
 
+        _ensure_observation_safe_aqe(spark)
         t0 = time.monotonic()
         phase = {}
 
@@ -624,7 +662,7 @@ class LakeTable:
                 import shutil
 
                 if new_files:
-                    any_file = next(iter(new_files.values()))[0]
+                    any_file = self._abs(next(iter(new_files.values()))[0])
                     shutil.rmtree(os.path.dirname(os.path.dirname(any_file)),
                                   ignore_errors=True)
                 raise
@@ -722,7 +760,8 @@ class LakeTable:
         os.makedirs(out_dir, exist_ok=True)
         codec = os.environ.get("WALSTREAM_LAKE_CODEC", "zstd")
         fn = make_merge_kernel(
-            {str(b): list(fl) for b, fl in snap["files"].items()},
+            {str(b): [self._abs(f) for f in fl]
+             for b, fl in snap["files"].items()},
             schema, key_cols, out_dir, codec)
         withb = images.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets))
@@ -765,7 +804,7 @@ class LakeTable:
         files = dict(snap["files"])
         for b, r in by_bucket.items():
             if r["file"]:
-                files[str(b)] = [r["file"]]
+                files[str(b)] = [self._rel(r["file"])]
             else:
                 files.pop(str(b), None)
 
@@ -834,6 +873,21 @@ class LakeTable:
         import glob as _glob
         import re as _re
 
+        # Live-set membership is decided on the path suffix from the
+        # snapshot-versioned ``s{N}-{hex}/`` data directory onward — NEVER
+        # on raw string equality. Snapshots may record absolute paths (old
+        # metadata), relative paths (current), or a different spelling of
+        # the same root (symlink, ./ prefix, moved warehouse); exact-match
+        # would classify every live file as dead and delete data referenced
+        # by KEPT snapshots. The s-dir suffix is spelling-invariant and
+        # unique within one table's data dir. Pinned by
+        # tests/test_expiry.py::test_expire_via_different_root_spelling.
+        sdir_re = _re.compile(r"(s\d+-[0-9a-f]+[/\\].*)$")
+
+        def _live_key(p: str) -> str:
+            m = sdir_re.search(p)
+            return m.group(1).replace("\\", "/") if m else p
+
         current = self._current_version()
         cutoff = current - max(1, int(keep_last)) + 1
         live: set[str] = set()
@@ -846,7 +900,7 @@ class LakeTable:
             with open(p) as f:
                 snap = json.load(f)
             for fl in snap.get("files", {}).values():
-                live.update(fl)
+                live.update(_live_key(x) for x in fl)
         files_deleted = bytes_deleted = 0
         ver_re = _re.compile(r"^s(\d+)-")
         for d in sorted(_glob.glob(os.path.join(self.data_dir, "s*-*"))):
@@ -857,7 +911,7 @@ class LakeTable:
             for root, _dirs, names in os.walk(d, topdown=False):
                 for n in names:
                     p = os.path.join(root, n)
-                    if p in live:
+                    if _live_key(p) in live:
                         empty = False
                         continue
                     try:

@@ -57,7 +57,7 @@ def test_expire_snapshots_bounds_disk_preserves_reads(spark, tmp_path):
     live = set()
     for snap in t.history():
         for fl in snap["files"].values():
-            live.update(fl)
+            live.update(t._abs(f) for f in fl)
     after_files = _disk_files(t)
     assert live <= after_files
     assert after_files < before_files
@@ -104,7 +104,7 @@ def test_expire_keeps_shared_and_inflight_files(spark, tmp_path):
     snap = t.snapshot()
     for fl in snap["files"].values():
         for f in fl:
-            assert os.path.exists(f), f
+            assert os.path.exists(t._abs(f)), f
     assert _state(spark, t) == before_state
 
 
@@ -146,7 +146,55 @@ def test_engine_auto_expiry_bounds_warehouse(spark, tmp_path,
         live = set()
         for snap in t.history():
             for fl in snap["files"].values():
-                live.update(fl)
+                live.update(t._abs(f) for f in fl)
         extra = {p for p in _disk_files(t)
                  if p.endswith(".parquet") and p not in live}
         assert len(extra) <= len(live)
+
+
+def test_relocated_warehouse_reads_and_expires_safely(spark, tmp_path):
+    """Move the warehouse directory after several merges: reads must keep
+    working (snapshot paths are root-relative) and expiry at the NEW
+    location must never delete files referenced by kept snapshots."""
+    import shutil
+
+    base = _base_df(spark, 100)
+    t = LakeTable.create(spark, str(tmp_path / "orig"), base, KEY_COLS,
+                         n_buckets=8)
+    for i in range(5):
+        _merge_round(spark, t, i)
+    before_state = _state(spark, t)
+
+    moved = str(tmp_path / "moved")
+    shutil.move(str(tmp_path / "orig"), moved)
+    t2 = LakeTable(moved)
+    assert _state(spark, t2) == before_state
+
+    stats = t2.expire_snapshots(keep_last=2)
+    assert stats["files_deleted"] > 0
+    # every file referenced by kept snapshots still exists and reads match
+    for snap in t2.history():
+        for fl in snap["files"].values():
+            for f in fl:
+                assert os.path.exists(t2._abs(f)), f
+    assert _state(spark, t2) == before_state
+
+
+def test_expire_via_different_root_spelling(spark, tmp_path):
+    """Expire through a symlinked / non-canonical spelling of the root:
+    live-set matching is path-suffix based, so a spelling difference
+    between writer and expirer must not classify live files as dead."""
+    base = _base_df(spark, 80)
+    real = str(tmp_path / "real")
+    t = LakeTable.create(spark, real, base, KEY_COLS, n_buckets=8)
+    for i in range(4):
+        _merge_round(spark, t, i)
+    before_state = _state(spark, t)
+
+    link = str(tmp_path / "link")
+    os.symlink(real, link)
+    t2 = LakeTable(link + os.sep + "." + os.sep)  # ugly but legal spelling
+    stats = t2.expire_snapshots(keep_last=2)
+    assert stats["files_deleted"] > 0
+    assert _state(spark, LakeTable(real)) == before_state
+    assert _state(spark, t2) == before_state

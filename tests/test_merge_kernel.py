@@ -271,3 +271,85 @@ def test_kernel_salted_routing_balances_partitions(spark, tmp_path):
     a = sorted(map(tuple, tA.read(spark).collect()))
     b = sorted(map(tuple, tB.read(spark).collect()))
     assert a == b
+
+
+def test_kernel_fileless_bucket_sparse_bootstrap(spark, tmp_path):
+    """A bucket with NO existing target file (sparse bootstrap: more
+    buckets than base keys) receiving inserts must merge cleanly — the
+    kernel's __t marker must be typed bool even at n_target==0
+    (pa.array([True]*0) infers null and Acero rejects null non-key
+    fields). Differential vs the general path."""
+    rows = [("insert", 100 + i, i + 1, None,
+             {"k1": str(1000 + i), "k2": "a" if i % 2 else "b",
+              "v_str": f"n{i}", "v_num": str(i)}, None)
+            for i in range(40)]
+    rg, rk = _run_both(spark, tmp_path, rows, n_buckets=16, base_rows=2)
+    assert rk["merge_kernel"] is True
+    assert rk["upserts"] == rg["upserts"] == 40
+
+
+def test_kernel_bucket_emptied_then_reinserted(spark, tmp_path):
+    """Delete every row of a table (all buckets drop their files), then
+    insert fresh keys: the second merge joins against fileless buckets.
+    Differential vs the general path across both merges."""
+    kt = {"k1": "string", "k2": "string"}
+    base = _base_df(spark, 8)
+    tg = LakeTable.create(spark, str(tmp_path / "g"), base, KEY_COLS,
+                          n_buckets=4)
+    tk = LakeTable.create(spark, str(tmp_path / "k"), base, KEY_COLS,
+                          n_buckets=4)
+    dels = [("delete", 100 + i, i + 1,
+             {"k1": str(i), "k2": "a" if i % 2 else "b"}, None, None)
+            for i in range(8)]
+    ins = [("insert", 300 + i, i + 1, None,
+            {"k1": str(i), "k2": "b" if i % 2 else "a",
+             "v_str": f"re{i}", "v_num": str(7 * i)}, None)
+           for i in range(6)]
+    for lsn, rows in ((10_000, dels), (20_000, ins)):
+        ev = _events_df(spark, rows)
+        changes = compact_changes(ev, KEY_COLS, DATA_COLS, key_types=kt)
+        images = dml_images(ev, KEY_COLS, DATA_COLS, key_types=kt)
+        tg.merge(spark, changes, applied_lsn=lsn)
+        rk = tk.merge_bucketed(spark, images, applied_lsn=lsn)
+        assert rk["merge_kernel"] is True
+        assert _state(spark, tg) == _state(spark, tk)
+    assert len(_state(spark, tk)) == 6
+
+
+def test_kernel_timestamp_key_conform(spark, tmp_path):
+    """A timestamp key column: Spark's Arrow transfer carries its own tz
+    annotation, which must be conformed to the snapshot-declared Arrow
+    type before the kernel join (a mismatch fails or mis-joins in Acero).
+    Differential vs the general path."""
+    import datetime as dt
+
+    from pg_walstream_spark.operators.compact import compact_changes
+
+    key_cols = ["k_ts", "k2"]
+    data_cols = [("v_str", "string"), ("v_num", "bigint")]
+    kt = {"k_ts": "timestamp", "k2": "string"}
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, i), "a", f"base{i}", i)
+         for i in range(20)],
+        "k_ts timestamp, k2 string, v_str string, v_num bigint")
+    tg = LakeTable.create(spark, str(tmp_path / "g"), base, key_cols,
+                          n_buckets=4)
+    tk = LakeTable.create(spark, str(tmp_path / "k"), base, key_cols,
+                          n_buckets=4)
+    rows = []
+    for i in range(12):
+        k = {"k_ts": f"2024-01-01 00:00:{i:02d}", "k2": "a"}
+        rows.append(("update", 100 + i, i + 1, k,
+                     {**k, "v_str": f"u{i}", "v_num": str(100 + i)}, None))
+    # plus inserts into fileless buckets with a timestamp key
+    for i in range(6):
+        k = {"k_ts": f"2030-06-0{i + 1} 12:00:00", "k2": "b"}
+        rows.append(("insert", 200 + i, 50 + i, None,
+                     {**k, "v_str": f"n{i}", "v_num": str(i)}, None))
+    ev = _events_df(spark, rows)
+    changes = compact_changes(ev, key_cols, data_cols, key_types=kt)
+    images = dml_images(ev, key_cols, data_cols, key_types=kt)
+    tg.merge(spark, changes, applied_lsn=10_000)
+    rk = tk.merge_bucketed(spark, images, applied_lsn=10_000)
+    assert rk["merge_kernel"] is True
+    assert _state(spark, tg) == _state(spark, tk)

@@ -187,7 +187,7 @@ def test_fast_path_speculation_discards_on_truncate(spark, tmp_path,
     lake = eng.table("repos")
     for fl in lake.snapshot()["files"].values():
         for f in fl:
-            assert os.path.exists(f)
+            assert os.path.exists(lake._abs(f))
 
 
 def test_fast_path_duplicate_batch_fence_skip_no_deadlock(spark, tmp_path,
@@ -336,8 +336,20 @@ def test_version_preflight_rejects_stale_state_dir(spark, tmp_path):
     with pytest.raises(E.StateVersionError, match="state version"):
         E.ReplayEngine(spark, wh)._load_state()
 
-    # pre-versioning (missing stamp) state is version 0 -> also rejected
+    # pre-versioning (missing stamp) state with a compatible layout is the
+    # v3 layout minus the stamp: accepted and stamped on load (a round-4
+    # warehouse must not be refused)
     del st["state_version"]
     E._atomic_write(eng.state_path, json.dumps(st))
+    st2 = E.ReplayEngine(spark, wh)._load_state()
+    assert st2["state_version"] == E.ENGINE_STATE_VERSION
+
+    # ...but a missing stamp PLUS a genuinely older pending layout
+    # (delta content without the append-delta meta.json manifest) is
+    # rejected as version 0
+    pend = os.path.join(wh, "pending")
+    os.makedirs(os.path.join(pend, "delta-000"), exist_ok=True)
+    with open(os.path.join(pend, "delta-000", "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
     with pytest.raises(E.StateVersionError, match="version 0"):
         E.ReplayEngine(spark, wh)._load_state()

@@ -362,15 +362,25 @@ def build_context(
 # ---------------------------------------------------------------------------
 
 def _be16(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    return (buf[pos].astype(np.int64) << 8) | buf[pos + 1]
+    # clamped gathers: callers bounds-check real reads and mask the rows
+    # that fail, but the masked rows' SUBSTITUTE positions still gather —
+    # a frame shorter than the fixed header would index past the buffer
+    # and crash the whole kernel batch (found by the arbitrary-bytes fuzz
+    # harness, tests/test_fuzz_bytes.py: a bare b'D' frame). Clamping never
+    # changes an in-bounds read; out-of-bounds values are garbage the
+    # caller's error mask already discards.
+    top = len(buf) - 1
+    return (buf[np.minimum(pos, top)].astype(np.int64) << 8) \
+        | buf[np.minimum(pos + 1, top)]
 
 
 def _be32(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    top = len(buf) - 1
     return (
-        (buf[pos].astype(np.int64) << 24)
-        | (buf[pos + 1].astype(np.int64) << 16)
-        | (buf[pos + 2].astype(np.int64) << 8)
-        | buf[pos + 3]
+        (buf[np.minimum(pos, top)].astype(np.int64) << 24)
+        | (buf[np.minimum(pos + 1, top)].astype(np.int64) << 16)
+        | (buf[np.minimum(pos + 2, top)].astype(np.int64) << 8)
+        | buf[np.minimum(pos + 3, top)]
     )
 
 

@@ -516,3 +516,59 @@ def test_rate_limited_stream_e2e_bytes_cap(spark, tmp_path):
     assert int(st["applied_lsn"]) == glsn
     assert int(st["max_seq"]) == frames.num_rows - 1
     assert st["ingest"]["chunks"] >= 1
+
+
+def test_checkpoint_loss_recovery_from_warehouse_fence(spark, tmp_path):
+    """Failover-slot durability analog
+    (/root/reference/integration-tests/failover_slot.rs): the streaming
+    CHECKPOINT is lost (disk loss / failover to a standby driver) but the
+    warehouse (engine state + lake fence) survives. Restarting with a
+    FRESH checkpoint makes the file source redeliver EVERYTHING from
+    scratch; the consumed-seq skip + LSN fence must absorb the redelivery
+    with no duplicates and no loss — final state identical to the
+    sequential golden applier, and the redelivered prefix must be fenced
+    (not re-applied) rather than re-merged."""
+    import shutil
+
+    from pg_walstream_spark.golden import golden_final_state
+
+    base, b = wg.gen_mixed_dml(n_base=50, n_txns=10, ops_per_txn=5)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=25)
+
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+
+    ckpt1 = os.path.join(str(tmp_path), "ckpt1")
+    q = start_stream(spark, frames_dir, wh, checkpoint_dir=ckpt1,
+                     max_files_per_trigger=2)
+    q.awaitTermination(300)
+    st_mid = eng._load_state()
+    assert st_mid["applied_lsn"] > 0
+    merges_before = len(eng.table("repos").snapshot()["lineage"])
+
+    # disaster: the checkpoint is gone, the warehouse survives
+    shutil.rmtree(ckpt1)
+
+    q2 = start_stream(spark, frames_dir, wh,
+                      checkpoint_dir=os.path.join(str(tmp_path), "ckpt2"),
+                      max_files_per_trigger=2)
+    q2.awaitTermination(300)
+
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    lake = eng.table("repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in lake.read(spark).collect())
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert lake.applied_lsn() == glsn
+    st_after = eng._load_state()
+    assert st_after["applied_lsn"] == glsn
+    # redelivered files were consumed-seq-skipped, not re-merged: no new
+    # merge lineage beyond the first pass
+    assert len(lake.snapshot()["lineage"]) == merges_before
+    assert st_after["max_seq"] == st_mid["max_seq"]

@@ -481,6 +481,41 @@ def _steal_probe() -> float:
     return best
 
 
+_BW_BUFS = None
+
+
+def _bw_probe() -> float:
+    """Seconds for a FIXED single-thread memory-bandwidth workload (min of
+    3 streaming adds over 3x128 MB buffers — far above any LLC, so the
+    probe time is memory-bus time, not cache time).
+
+    The compute probe above is arithmetic-bound and BLIND to neighbor
+    memory-bandwidth pressure: round-6 measured a haze window where
+    compute probes sat at 1.0-1.3x floor while 8-core replays ran 20-40%
+    over their clean-window times — exactly the signature of a
+    bandwidth-stealing co-tenant (the replay is bandwidth-hungry; the
+    sin/sqrt probe is not). Gating headline pairs on BOTH probes keeps
+    bandwidth-hazy rounds out of the median the same way arithmetic-steal
+    rounds already are."""
+    import numpy as _np
+
+    global _BW_BUFS
+    if _BW_BUFS is None:
+        a = _np.arange(16_000_000, dtype=_np.float64)
+        b = _np.ones(16_000_000, dtype=_np.float64)
+        c = _np.empty_like(a)
+        _np.add(a, b, out=c)  # fault in every page before first timing
+        _BW_BUFS = (a, b, c)
+    a, b, c = _BW_BUFS
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        _np.add(a, b, out=c)
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main():
     t_total = time.monotonic()
     # global deadline: every phase checks remaining budget, so a slow or
@@ -526,13 +561,26 @@ def main():
     # enters the HEADLINE median if no probe spanning its two runs
     # deviates from the session floor (independent interference gate —
     # see _steal_probe). All pairs and all probes are published either way.
-    round_probes: list[list[float]] = [[_steal_probe()]]
+    round_probes: list[list[float]] = []
+    round_bws: list[list[float]] = []
+
+    def _probe(new_round: bool = False) -> None:
+        # both probes at every bracket point: compute-bound (arithmetic
+        # steal) and bandwidth-bound (neighbor memory pressure); a pair
+        # must be clean on BOTH to enter the headline median
+        if new_round:
+            round_probes.append([])
+            round_bws.append([])
+        round_probes[-1].append(_steal_probe())
+        round_bws[-1].append(_bw_probe())
+
+    _probe(new_round=True)
     t_small, dn_s, ddt_s = run_replay_guarded(
         N_SMALL, frames, base_p, n_events, True, _budget(replay_cap))
-    round_probes[-1].append(_steal_probe())
+    _probe()
     t_big, dn_b, ddt_b = run_replay_guarded(
         N_BIG, frames, base_p, n_events, True, _budget(replay_cap))
-    round_probes[-1].append(_steal_probe())
+    _probe()
     # interleave pair members back-to-back: (N, 4N) then (2N, 8N)
     levels = [N_SMALL, N_BIG, 2 * N_SMALL, 8 * N_SMALL]
     order = []
@@ -547,12 +595,12 @@ def main():
         typ = (_median(done) or 60.0) + 15.0
         if deadline - time.monotonic() < len(order) * typ + 120:
             break
-        round_probes.append([_steal_probe()])
+        _probe(new_round=True)
         for lvl in order:
             t, _, _ = run_replay_guarded(lvl, frames, base_p, n_events,
                                          False, _budget(replay_cap))
             times.setdefault(lvl, []).append(t)
-            round_probes[-1].append(_steal_probe())
+            _probe()
 
     def _best(ts):
         ok = [t for t in ts if t is not None]
@@ -573,11 +621,18 @@ def main():
     # is ~13% (0.167-0.189 s), so the cutoff must sit above that; real
     # steal bursts measure 1.4-1.9x the floor
     probe_thr = float(os.environ.get("BENCH_PROBE_THRESH", "1.3"))
+    bw_floor = min(min(pr) for pr in round_bws)
+    # the triad's warm min-of-3 self-spread is ~5%; 1.25 leaves headroom
+    # for page-cache/NUMA drift while still catching the 1.4-2x readings
+    # a bandwidth-stealing neighbor produces
+    bw_thr = float(os.environ.get("BENCH_BW_THRESH", "1.25"))
 
-    def _round_clean(pr: list[float], i: int, j: int) -> bool:
-        span = pr[i:j + 2]  # probes bracketing runs i..j of the round
-        return bool(span) and all(p <= probe_thr * probe_floor
-                                  for p in span)
+    def _round_clean(ri: int, i: int, j: int) -> bool:
+        span = round_probes[ri][i:j + 2]  # probes bracketing runs i..j
+        bspan = round_bws[ri][i:j + 2]
+        return (bool(span)
+                and all(p <= probe_thr * probe_floor for p in span)
+                and all(p <= bw_thr * bw_floor for p in bspan))
 
     def _paired_eff(lo_lvl, hi_lvl, run_i, run_j):
         lo, hi = times.get(lo_lvl, []), times.get(hi_lvl, [])
@@ -588,7 +643,7 @@ def main():
         # round 0 only runs the (N, 4N) pair, so the (2N, 8N) series is
         # offset by one round relative to round_probes
         off = len(round_probes) - len(pairs)
-        clean = [_round_clean(round_probes[i + off], run_i, run_j)
+        clean = [_round_clean(i + off, run_i, run_j)
                  for i in range(len(pairs))]
         valid = [p for p in pairs if p <= 1.0]
         cv = [p for p, c in zip(pairs, clean) if p <= 1.0 and c]
@@ -694,6 +749,10 @@ def main():
                                  for pr in round_probes],
                 "probe_floor": round(probe_floor, 3),
                 "probe_threshold": probe_thr,
+                "bw_probes": [[round(p, 3) for p in pr]
+                              for pr in round_bws],
+                "bw_floor": round(bw_floor, 3),
+                "bw_threshold": bw_thr,
                 "clean_pairs_1_4": clean_1_4,
                 "clean_pairs_2_8": clean_2_8,
                 "n_clean_1_4": n_clean_1_4,
@@ -767,16 +826,23 @@ def main():
                 "Min-based takes each level's best across all rounds. The "
                 "full per-round table above publishes every measurement, "
                 "dropped or not.\n\n"
-                "Steal gate: a fixed single-thread numpy probe runs between "
-                "every replay (an interference detector independent of the "
-                "measurements themselves). A pair enters the headline median "
-                f"only if every probe bracketing its two runs is within "
-                f"{probe_thr:.2f}x of the session floor "
-                f"({probe_floor:.3f}s); fewer than 2 clean pairs falls back "
-                "to all valid pairs. This round: "
+                "Steal gate: TWO fixed single-thread numpy probes run "
+                "between every replay (interference detectors independent "
+                "of the measurements themselves): an arithmetic probe "
+                "(sin/sqrt reduction — catches CPU steal) and a streaming "
+                "triad over 3x128 MB buffers (catches NEIGHBOR MEMORY-"
+                "BANDWIDTH pressure, which the arithmetic probe is blind "
+                "to but which hits the bandwidth-hungry 8-core replays "
+                "hardest). A pair enters the headline median only if every "
+                f"bracketing arithmetic probe is within {probe_thr:.2f}x "
+                f"of the session floor ({probe_floor:.3f}s) AND every "
+                f"bracketing bandwidth probe is within {bw_thr:.2f}x of "
+                f"its floor ({bw_floor:.3f}s); fewer than 2 clean pairs "
+                "falls back to all valid pairs. This round: "
                 f"{n_clean_1_4} clean 1→4 pairs (mask {clean_1_4}), "
-                f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}); probes "
-                "per round in BENCH_LATEST.json `steal_probes`.\n\n"
+                f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}); both "
+                "probe series per round in BENCH_LATEST.json "
+                "`steal_probes` / `bw_probes`.\n\n"
                 + (
                     f"Scaling efficiency on the {2 * N_SMALL} → "
                     f"{8 * N_SMALL} pair (published alongside so the basis "

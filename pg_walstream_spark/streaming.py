@@ -65,10 +65,47 @@ def _chunk_by_rate(process: list[dict], max_frames: int | None,
     return chunks
 
 
+def _batch_files_from_source_log(checkpoint_dir: str | None,
+                                 epoch_id: int) -> list[str] | None:
+    """The micro-batch's file list from the stream's own file-source log
+    (``<checkpoint>/sources/0/<batchId>``) — the authoritative record the
+    FileStreamSource itself wrote for this batch, readable on the driver
+    without a Spark job. Every ``compactInterval``-th batch is written as
+    ``<batchId>.compact`` holding the full history; entries carry their
+    originating ``batchId``, so filtering recovers the batch. Returns
+    None on any anomaly (missing log, unknown format) — callers fall
+    back to deriving spans with a Spark aggregation."""
+    if not checkpoint_dir:
+        return None
+    base = os.path.join(checkpoint_dir, "sources", "0", str(epoch_id))
+    path = base if os.path.isfile(base) else base + ".compact"
+    if not os.path.isfile(path):
+        return None
+    try:
+        import json as _json
+
+        files: list[str] = []
+        with open(path) as f:
+            header = f.readline().strip()
+            if not header.startswith("v"):
+                return None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                e = _json.loads(line)
+                if int(e.get("batchId", -1)) == int(epoch_id):
+                    files.append(e["path"])
+        return files
+    except Exception:
+        return None
+
+
 def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
                         epoch_id: int,
                         max_frames_per_batch: int | None = None,
-                        max_bytes_per_batch: int | None = None
+                        max_bytes_per_batch: int | None = None,
+                        checkpoint_dir: str | None = None
                         ) -> dict | None:
     """Apply one micro-batch of frame files with WAL-order repair
     (hold-and-release). Shared by the streaming sink and tests.
@@ -103,13 +140,26 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
     engine.spark = df.sparkSession
     st = engine._load_state()
 
-    spans = [
-        {"path": r["path"], "lo": int(r["lo"]), "hi": int(r["hi"]),
-         "n": int(r["n"])}
-        for r in df.groupBy(F.input_file_name().alias("path"))
-        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
-             F.count("seq").alias("n")).collect()
-    ]
+    # per-file seq spans from parquet footers on the driver (no Spark
+    # job; engine.seq_spans_from_footers), file list from the stream's
+    # own source log — the groupBy below is the fallback for unknown
+    # sources, missing logs, or files without statistics. Spans keep the
+    # source-log URI spelling (same as input_file_name()) so held_frames
+    # state stays comparable across checkpoints.
+    from .engine import seq_spans_from_footers
+
+    in_files = _batch_files_from_source_log(checkpoint_dir, epoch_id)
+    if in_files is not None:
+        in_files = sorted(p for p in in_files if p.endswith(".parquet"))
+    spans = seq_spans_from_footers(in_files) if in_files else None
+    if spans is None:
+        spans = [
+            {"path": r["path"], "lo": int(r["lo"]), "hi": int(r["hi"]),
+             "n": int(r["n"])}
+            for r in df.groupBy(F.input_file_name().alias("path"))
+            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+                 F.count("seq").alias("n")).collect()
+        ]
     for s in spans:
         # a gap INSIDE one file is corruption, not reordering — no later
         # delivery can heal it, so fail loudly
@@ -281,7 +331,8 @@ def start_stream(
     def apply_batch(df, epoch_id: int):
         ingest_frames_batch(engine, df, int(epoch_id),
                             max_frames_per_batch=max_frames_per_batch,
-                            max_bytes_per_batch=max_bytes_per_batch)
+                            max_bytes_per_batch=max_bytes_per_batch,
+                            checkpoint_dir=checkpoint_dir)
 
     writer = (
         reader.writeStream.foreachBatch(apply_batch)

@@ -148,10 +148,16 @@ def seq_spans_from_footers(paths) -> list[dict] | None:
     truncation, unlike strings); ``n`` is the footer row count, so the
     in-file gap check keeps working. Files without usable statistics
     (foreign producers, stats disabled) return None and the callers fall
-    back to the Spark aggregation.
+    back to the Spark aggregation — as does a batch larger than
+    WALSTREAM_FOOTER_SPAN_MAX_FILES (default 4096): footer reads are
+    ~1 ms each but SERIAL on the driver, so past a few thousand files
+    the parallel Spark scan is the better plan.
     """
     import pyarrow.parquet as pq
 
+    cap = int(os.environ.get("WALSTREAM_FOOTER_SPAN_MAX_FILES", "4096"))
+    if len(paths) > cap:
+        return None
     spans: list[dict] = []
     for p in paths:
         local = p[7:] if p.startswith("file://") else p

@@ -70,6 +70,17 @@ def test_seq_spans_fallback_without_statistics(tmp_path):
         [os.path.join(str(tmp_path), "missing.parquet")]) is None
 
 
+def test_seq_spans_file_count_cap(tmp_path, monkeypatch):
+    """Past the cap the serial driver-side footer walk loses to the
+    parallel Spark scan — the helper declines and callers fall back."""
+    t = pa.table({"seq": pa.array([0], pa.int64())})
+    p = os.path.join(str(tmp_path), "one.parquet")
+    pq.write_table(t, p)
+    monkeypatch.setenv("WALSTREAM_FOOTER_SPAN_MAX_FILES", "2")
+    assert seq_spans_from_footers([p, p, p]) is None
+    assert seq_spans_from_footers([p, p]) is not None
+
+
 def test_streaming_takes_footer_path_and_matches_golden(
         spark, tmp_path, monkeypatch):
     footer_hits = []

@@ -145,6 +145,61 @@ def test_batch_files_from_source_log_unit(tmp_path):
     assert _batch_files_from_source_log(ck, 4) is None
 
 
+def test_streaming_footer_path_across_live_log_compaction(
+        spark, tmp_path, monkeypatch):
+    """The source-log reader must keep working through Spark's OWN log
+    compaction (every compactInterval-th batch is written as
+    ``<id>.compact`` holding the full history): force a tiny interval and
+    a one-file-per-trigger stream so several compact batches occur live,
+    assert the footer path never fell back, and the state matches golden."""
+    footer_hits = []
+    real = engine_mod.seq_spans_from_footers
+
+    def spy(paths):
+        out = real(paths)
+        footer_hits.append(out is not None)
+        return out
+
+    monkeypatch.setattr(engine_mod, "seq_spans_from_footers", spy)
+
+    base, frames, frames_dir = _write_fixture(tmp_path, rows_per_file=12)
+    n_files = len(glob.glob(os.path.join(frames_dir, "*.parquet")))
+    assert n_files >= 6  # enough batches to cross >=2 compaction points
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    p = os.path.join(str(tmp_path), "repos.parquet")
+    wg.write_base(base, p)
+    eng.bootstrap_table("repos", spark.read.parquet(p), ["repo", "path"], 8)
+
+    key = "spark.sql.streaming.fileSource.log.compactInterval"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        q = start_stream(
+            spark, frames_dir, wh,
+            checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    src_dir = os.path.join(str(tmp_path), "ckpt", "sources", "0")
+    compacts = glob.glob(os.path.join(src_dir, "*.compact"))
+    assert compacts, "compaction never fired - interval conf not applied?"
+    assert len(footer_hits) >= n_files and all(footer_hits)
+
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in eng.table("repos").read(spark).collect())
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert eng.table("repos").applied_lsn() == glsn
+
+
 def test_replay_spark_fallback_without_statistics(spark, tmp_path):
     """Frames from a foreign producer (no footer stats) replay through the
     Spark-aggregation fallback and still match golden."""

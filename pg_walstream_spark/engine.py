@@ -175,6 +175,12 @@ def seq_spans_from_footers(paths) -> list[dict] | None:
             cst = md.row_group(rg).column(ci).statistics
             if cst is None or not cst.has_min_max:
                 return None
+            # `n` below is the footer ROW count while the Spark fallback
+            # counts NON-NULL seq values — with null seqs present the two
+            # paths would disagree on the in-file gap corruption check.
+            # Null seqs are a foreign-producer shape: defer to the fallback.
+            if not cst.has_null_count or cst.null_count > 0:
+                return None
             lo = cst.min if lo is None else min(lo, cst.min)
             hi = cst.max if hi is None else max(hi, cst.max)
         if lo is None:
@@ -557,12 +563,39 @@ class ReplayEngine:
             ).sort_by("seq")
         # seq bounds from parquet footers (driver-side, no Spark job);
         # Spark full-scan agg only as the fallback for foreign files
-        # without statistics
-        local_files = sorted(
-            os.path.join(frames_path, f)
-            for f in os.listdir(frames_path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ) if os.path.isdir(frames_path) else []
+        # without statistics. Two layout hazards around the flat
+        # *.parquet listing:
+        # - a top-level frame file WITHOUT a .parquet suffix is still read
+        #   by spark.read.parquet (the listing is not suffix-filtered) —
+        #   a footer walk over *.parquet alone would cap `hi` below it and
+        #   silently never replay its frames ⇒ abandon the fast path, let
+        #   the Spark agg (same file set Spark reads) bound the replay;
+        # - a MIXED flat+nested layout is incoherent in Spark itself
+        #   (plain subdirs are ignored; partition-style subdirs shadow the
+        #   flat files) — ANY lo/hi source silently replays a subset, so
+        #   refuse loudly instead (pinned by tests/test_footer_spans.py::
+        #   test_replay_refuses_mixed_flat_nested_layout).
+        local_files: list | None = []
+        if os.path.isdir(frames_path):
+            subdirs = []
+            for f in sorted(os.listdir(frames_path)):
+                if f.startswith((".", "_")):
+                    continue  # spark ignores hidden/meta entries too
+                p = os.path.join(frames_path, f)
+                if os.path.isdir(p):
+                    subdirs.append(f)
+                elif not f.endswith(".parquet"):
+                    local_files = None  # foreign suffix: Spark-agg bounds
+                elif local_files is not None:
+                    local_files.append(p)
+            if subdirs and (local_files is None or local_files):
+                raise ValueError(
+                    f"mixed flat+nested frame layout under {frames_path} "
+                    f"(subdirectories {subdirs[:3]} alongside top-level "
+                    "frame files): Spark reads an ill-defined subset of "
+                    "such a tree, so the replay would silently skip "
+                    "frames. Keep frame files flat in one directory."
+                )
         spans = seq_spans_from_footers(local_files) if local_files else None
         if spans is not None:
             if not spans:

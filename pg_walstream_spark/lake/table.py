@@ -880,13 +880,25 @@ class LakeTable:
         # the same root (symlink, ./ prefix, moved warehouse); exact-match
         # would classify every live file as dead and delete data referenced
         # by KEPT snapshots. The s-dir suffix is spelling-invariant and
-        # unique within one table's data dir. Pinned by
-        # tests/test_expiry.py::test_expire_via_different_root_spelling.
-        sdir_re = _re.compile(r"(s\d+-[0-9a-f]+[/\\].*)$")
+        # unique within one table's data dir.
+        #
+        # The s-dir must be matched as a WHOLE path component and from the
+        # RIGHT: a warehouse root that itself contains an s-dir-shaped
+        # component (``/mnt/s3-ab/wh``) would otherwise make walked
+        # ABSOLUTE paths key on the root component while snapshot-recorded
+        # RELATIVE paths key on the real s-dir — every live file misses the
+        # live set and expiry deletes data referenced by KEPT snapshots.
+        # Pinned by tests/test_expiry.py::
+        # test_expire_via_different_root_spelling and
+        # test_expire_with_sdir_shaped_warehouse_root.
+        comp_re = _re.compile(r"^s\d+-[0-9a-f]+$")
 
         def _live_key(p: str) -> str:
-            m = sdir_re.search(p)
-            return m.group(1).replace("\\", "/") if m else p
+            parts = p.replace("\\", "/").split("/")
+            for i in range(len(parts) - 2, -1, -1):
+                if comp_re.match(parts[i]):
+                    return "/".join(parts[i:])
+            return p
 
         current = self._current_version()
         cutoff = current - max(1, int(keep_last)) + 1

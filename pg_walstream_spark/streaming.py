@@ -150,7 +150,14 @@ def ingest_frames_batch(engine: ReplayEngine, df: DataFrame,
 
     in_files = _batch_files_from_source_log(checkpoint_dir, epoch_id)
     if in_files is not None:
-        in_files = sorted(p for p in in_files if p.endswith(".parquet"))
+        # the file source lists files regardless of name, so a frame file
+        # WITHOUT a .parquet suffix (foreign producer) is in this
+        # micro-batch's df; dropping it from the spans would fabricate a
+        # permanent seq gap that holds every later file forever. If any
+        # source-log entry would be filtered, abandon the footer fast path
+        # for this batch and let the df groupBy below cover every file.
+        flt = sorted(p for p in in_files if p.endswith(".parquet"))
+        in_files = flt if len(flt) == len(in_files) else None
     spans = seq_spans_from_footers(in_files) if in_files else None
     if spans is None:
         spans = [

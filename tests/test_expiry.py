@@ -180,6 +180,29 @@ def test_relocated_warehouse_reads_and_expires_safely(spark, tmp_path):
     assert _state(spark, t2) == before_state
 
 
+def test_expire_with_sdir_shaped_warehouse_root(spark, tmp_path):
+    """A warehouse ROOT containing an s-dir-shaped path component
+    (``.../s3-ab/wh``) must not confuse live-set matching: walked absolute
+    paths must key on the real (rightmost, whole-component) ``s{N}-{hex}``
+    data dir, not on the root component — the leftmost-match bug deleted
+    every file referenced by KEPT snapshots under such a root."""
+    base = _base_df(spark, 80)
+    root = str(tmp_path / "s3-ab" / "wh" / "t")
+    t = LakeTable.create(spark, root, base, KEY_COLS, n_buckets=8)
+    for i in range(4):
+        _merge_round(spark, t, i)
+    before_state = _state(spark, t)
+
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["files_deleted"] > 0  # old versions do get reclaimed
+    # every file referenced by kept snapshots still exists; reads intact
+    for snap in t.history():
+        for fl in snap["files"].values():
+            for f in fl:
+                assert os.path.exists(t._abs(f)), f
+    assert _state(spark, t) == before_state
+
+
 def test_expire_via_different_root_spelling(spark, tmp_path):
     """Expire through a symlinked / non-canonical spelling of the root:
     live-set matching is path-suffix based, so a spelling difference

@@ -200,6 +200,79 @@ def test_streaming_footer_path_across_live_log_compaction(
     assert eng.table("repos").applied_lsn() == glsn
 
 
+def test_seq_spans_fallback_on_null_seq(tmp_path):
+    """Footer `n` is the ROW count; the Spark fallback counts NON-NULL
+    seq. With null seqs the two paths would disagree on the in-file gap
+    corruption check ([0, null, 2] looks gap-free to the footer), so the
+    footer path must decline and defer to the fallback."""
+    t = pa.table({"seq": pa.array([0, None, 2], pa.int64()),
+                  "data": pa.array([b"a", b"b", b"c"], pa.binary())})
+    p = os.path.join(str(tmp_path), "nullseq.parquet")
+    pq.write_table(t, p)
+    assert seq_spans_from_footers([p]) is None
+
+
+def test_replay_refuses_mixed_flat_nested_layout(spark, tmp_path):
+    """A mixed flat+nested frame layout is incoherent in Spark itself —
+    plain subdirs are silently ignored, partition-style subdirs shadow the
+    flat files (measured: 3 inputFiles but only the partition rows
+    counted) — so EVERY lo/hi source would silently replay a subset.
+    replay_frames must refuse loudly instead of losing frames."""
+    import shutil
+
+    import pytest
+
+    base, frames, frames_dir = _write_fixture(tmp_path)
+    files = sorted(glob.glob(os.path.join(frames_dir, "*.parquet")))
+    assert len(files) > 2
+    sub = os.path.join(frames_dir, "nested")
+    os.makedirs(sub)
+    shutil.move(files[-1], os.path.join(sub, os.path.basename(files[-1])))
+
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    p = os.path.join(str(tmp_path), "repos.parquet")
+    wg.write_base(base, p)
+    eng.bootstrap_table("repos", spark.read.parquet(p), ["repo", "path"], 8)
+    with pytest.raises(ValueError, match="mixed flat\\+nested"):
+        eng.replay_frames(frames_dir, batch_frames=1000)
+
+
+def test_streaming_foreign_suffix_file_not_stalled(spark, tmp_path):
+    """The file source lists files regardless of name: a frame file
+    WITHOUT a .parquet suffix is in the micro-batch df. Filtering it out
+    of the footer spans fabricated a permanent seq gap that held every
+    later file forever (ingest stall). The batch must fall back to the df
+    groupBy and finish at golden."""
+    base, frames, frames_dir = _write_fixture(tmp_path)
+    files = sorted(glob.glob(os.path.join(frames_dir, "*.parquet")))
+    assert len(files) > 2
+    mid = files[len(files) // 2]
+    os.rename(mid, mid[: -len(".parquet")] + ".frames")
+
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    p = os.path.join(str(tmp_path), "repos.parquet")
+    wg.write_base(base, p)
+    eng.bootstrap_table("repos", spark.read.parquet(p), ["repo", "path"], 8)
+
+    q = start_stream(
+        spark, frames_dir, wh,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    st = eng._load_state()
+    assert not st.get("held_frames"), st.get("held_frames")
+    golden_rows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in eng.table("repos").read(spark).collect())
+    want = sorted((r["repo"], r["path"], r["content"]) for r in golden_rows)
+    assert got == want
+    assert eng.table("repos").applied_lsn() == glsn
+
+
 def test_replay_spark_fallback_without_statistics(spark, tmp_path):
     """Frames from a foreign producer (no footer stats) replay through the
     Spark-aggregation fallback and still match golden."""

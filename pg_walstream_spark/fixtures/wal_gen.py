@@ -471,6 +471,123 @@ def gen_two_phase(n_base: int = 80, seed: int = 42):
     return base, b
 
 
+def gen_streaming_2pc(n_base: int = 90, seed: int = 42,
+                      protocol_version: int = 4):
+    """One fixture exercising every streamed + two-phase lifecycle path
+    (S/E/c/A with sub-xid abort, b/P/K/r, and streamed-prepare p) — the
+    driver-oracle companion to the per-feature generators above
+    (reference anchor: integration-tests/streaming_decode.rs:238-591).
+
+    1. streamed txn T1: segment, sub-txn rows, sub-xid ABORT (poisoned
+       rows vanish, T1's own rows — incl. post-abort segment — commit);
+    2. streamed txn T2: fully stream-aborted (all rows vanish);
+    3. streamed 2PC txn T3: segments → stream_prepare → commit_prepared
+       (rows apply at the commit-prepared record);
+    4. plain 2PC txn T4: begin_prepare → prepare → ROLLBACK prepared
+       (rows vanish);
+    5. plain 2PC txn T5: begin_prepare → prepare → commit_prepared;
+    6. an ordinary Begin/DML/Commit txn to close the stream.
+    """
+    base = gen_repos_base(n_base, seed)
+    b = WalBuilder(seed, protocol_version=protocol_version)
+    pl = _OpPlanner(base, seed)
+    b.relation(REPOS_OID, "repos", REPOS_COLUMNS)
+
+    # 1 — streamed with sub-xid abort
+    t1, t1_sub = b.alloc_xid(), b.alloc_xid()
+    b.emit(e.encode_stream_start(t1, True))
+    for _ in range(4):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),
+                               xid=t1))
+    for j in range(3):
+        row = {"repo": "orgS/subdoomed", "path": f"s{j}.py",
+               "commit": "1" * 40, "lang": "python", "content": "sub-aborted"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row), xid=t1_sub))
+    b.emit(e.encode_stream_stop())
+    if protocol_version >= 4:
+        b.emit(e.encode_stream_abort(t1, t1_sub, abort_lsn=b.lsn,
+                                     abort_ts=b.seq * 1_000))
+    else:
+        b.emit(e.encode_stream_abort(t1, t1_sub))
+    b.emit(e.encode_stream_start(t1, False))
+    for _ in range(3):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),
+                               xid=t1))
+    b.emit(e.encode_stream_stop())
+    c1 = b.lsn
+    b.emit(e.encode_stream_commit(t1, c1, c1 + 7, b.seq * 1_000))
+    b.commit_lsns.append(c1 + 7)
+
+    # 2 — streamed, fully aborted
+    t2 = b.alloc_xid()
+    b.emit(e.encode_stream_start(t2, True))
+    for j in range(4):
+        row = {"repo": "orgB/doomed", "path": f"x{j}.py", "commit": "0" * 40,
+               "lang": "python", "content": "aborted"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row), xid=t2))
+    b.emit(e.encode_stream_stop())
+    b.emit(e.encode_stream_abort(t2, t2))
+
+    # 3 — streamed two-phase: stream_prepare then commit_prepared
+    t3 = b.alloc_xid()
+    b.emit(e.encode_stream_start(t3, True))
+    for _ in range(4):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert()),
+                               xid=t3))
+    b.emit(e.encode_stream_stop())
+    p3 = b.lsn
+    b.emit(e.encode_stream_prepare(p3, p3 + 11, b.seq * 1_000, t3,
+                                   "gid-stream"))
+    c3 = b.lsn
+    b.emit(e.encode_commit_prepared(c3, c3 + 13, b.seq * 1_000, t3,
+                                    "gid-stream"))
+    b.commit_lsns.append(c3 + 13)
+
+    # 4 — plain 2PC rolled back
+    t4 = b.alloc_xid()
+    p4 = b.lsn
+    b.emit(e.encode_begin_prepare(p4, p4 + 1, b.seq * 1_000, t4, "gid-roll"))
+    for j in range(3):
+        row = {"repo": "orgR/rolled", "path": f"r{j}.py", "commit": "2" * 40,
+               "lang": "python", "content": "rolled back"}
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(row)))
+    b.emit(e.encode_prepare(p4, b.lsn + 30, b.seq * 1_000, t4, "gid-roll"))
+    b.emit(e.encode_rollback_prepared(p4, b.lsn + 20, b.seq * 1_000,
+                                      b.seq * 1_000, t4, "gid-roll"))
+
+    # 5 — plain 2PC committed
+    t5 = b.alloc_xid()
+    p5 = b.lsn
+    b.emit(e.encode_begin_prepare(p5, p5 + 1, b.seq * 1_000, t5, "gid-ok"))
+    for _ in range(4):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    b.emit(e.encode_prepare(p5, b.lsn + 30, b.seq * 1_000, t5, "gid-ok"))
+    c5 = b.lsn
+    b.emit(e.encode_commit_prepared(c5, c5 + 40, b.seq * 1_000, t5,
+                                    "gid-ok"))
+    b.commit_lsns.append(c5 + 40)
+
+    # 6 — ordinary txn (mixed DML) closing the fixture
+    b.begin()
+    for _ in range(3):
+        b.emit(e.encode_insert(REPOS_OID, row_tuple(pl.make_insert())))
+    old = dict(pl.pick_live())
+    k = (old["repo"], old["path"])
+    v = pl.versions[k] + 1
+    pl.versions[k] = v
+    newr = dict(old)
+    newr["commit"] = next_commit(pl.seed, old["repo"], old["path"], v)
+    newr["content"] = f"{old['repo']}:{old['path']}:v{v}\n" + old["content"][:256]
+    pl.rows[k] = newr
+    b.emit(e.encode_update(REPOS_OID, row_tuple(newr),
+                           row_tuple(old, only={"repo", "path"}), "K"))
+    gone = pl.make_delete()
+    b.emit(e.encode_delete(REPOS_OID,
+                           row_tuple(gone, only={"repo", "path"}), "K"))
+    b.commit()
+    return base, b
+
+
 def gen_binary_mode(n_base: int = 40, n_txns: int = 5, seed: int = 42):
     """binary=on stream: tuple values sent in binary format ('b' kind),
     including invalid-UTF8 payloads — the sink must preserve them losslessly

@@ -1173,6 +1173,49 @@ WAL_REPLAY_FINAL_STATE_SQL = f"""
 SELECT '{WAL_REPLAY_FP}' AS table_fingerprint, CAST(160 AS BIGINT) AS n_rows
 """
 
+
+def wal_streaming_2pc_replay(spark, sf_dir):
+    """Full engine replay (protocol v4) of the streamed + two-phase
+    lifecycle fixture — S/E/c, stream_abort with sub-xid poisoning,
+    streamed prepare (p), begin_prepare/prepare (b/P), commit_prepared
+    (K) and rollback_prepared (r) — into a temp lake, reduced to the
+    whole-state sha256 fingerprint. The oracle SQL pins the constant
+    independently re-derived from the sequential golden applier in
+    tests/test_queries_oracle.py::test_wal_streaming_2pc_fingerprint
+    (reference anchor: integration-tests/streaming_decode.rs:238-591)."""
+    from .engine import ReplayEngine
+    from .fixtures import wal_gen as wg
+
+    base, b = wg.gen_streaming_2pc(n_base=90, seed=42, protocol_version=4)
+    wd = tempfile.mkdtemp(prefix="walstream_s2pc_")
+    wg.write_frames(b.to_table(), f"{wd}/frames")
+    wg.write_base(base, f"{wd}/base.parquet")
+    eng = ReplayEngine(spark, f"{wd}/wh", protocol_version=4)
+    eng.bootstrap_table("repos", spark.read.parquet(f"{wd}/base.parquet"),
+                        ["repo", "path"], n_buckets=8)
+    eng.replay_frames(f"{wd}/frames")
+    out = eng.table("repos").read(spark).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    digest = F.sha2(
+        F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256"),
+        256,
+    )
+    return out.agg(
+        F.sha2(
+            F.concat_ws("|", F.sort_array(F.collect_list(digest))), 256
+        ).alias("table_fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+WAL_S2PC_FP = \
+    "10fca53a5d5558a90f7ee2efd36cdffb69e096c8c9da0a21661495af68b8b955"
+WAL_S2PC_SQL = f"""
+SELECT '{WAL_S2PC_FP}' AS table_fingerprint, CAST(107 AS BIGINT) AS n_rows
+"""
+
 # decode-stage counts over the seeded gen_mixed_dml fixture: constants,
 # independently re-derived via the sequential oracle parser in
 # tests/test_queries_oracle.py::test_wal_decode_counts_pinned
@@ -1235,5 +1278,8 @@ QUERIES = {
     "wal_decode_counts": (wal_decode_counts, WAL_DECODE_COUNTS_SQL),
     "wal_replay_final_state": (
         wal_replay_final_state, WAL_REPLAY_FINAL_STATE_SQL,
+    ),
+    "wal_streaming_2pc_replay": (
+        wal_streaming_2pc_replay, WAL_S2PC_SQL,
     ),
 }

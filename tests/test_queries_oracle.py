@@ -120,6 +120,41 @@ def test_wal_replay_fingerprint(spark):
     assert len(rows) == 160
 
 
+def test_wal_streaming_2pc_fingerprint(spark):
+    """The streamed + two-phase replay query (S/E/c, sub-xid abort,
+    stream_prepare, begin_prepare/prepare, commit_prepared,
+    rollback_prepared) pins a whole-state digest constant. Re-derive it
+    from the SEQUENTIAL golden applier so the oracle-SQL constant isn't
+    self-fulfilling, and assert the poisoned rows really vanished."""
+    import hashlib
+
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.golden import golden_final_state
+    from pg_walstream_spark.queries import WAL_S2PC_FP
+
+    row = entry_mod.queries()["wal_streaming_2pc_replay"](spark, SF_DIR) \
+        .collect()
+    assert len(row) == 1
+    assert row[0]["table_fingerprint"] == WAL_S2PC_FP
+    assert row[0]["n_rows"] == 107
+
+    base, b = wg.gen_streaming_2pc(n_base=90, seed=42, protocol_version=4)
+    rows, _ = golden_final_state({"repos": base}, b.to_table(), "repos",
+                                 protocol_version=4)
+    assert not [r for r in rows if r["repo"] in
+                ("orgS/subdoomed", "orgB/doomed", "orgR/rolled")]
+    digests = sorted(
+        hashlib.sha256("|".join([
+            r["repo"], r["path"], r["commit"], r["lang"],
+            hashlib.sha256(r["content"].encode()).hexdigest(),
+        ]).encode()).hexdigest()
+        for r in rows
+    )
+    want = hashlib.sha256("|".join(digests).encode()).hexdigest()
+    assert want == WAL_S2PC_FP
+    assert len(rows) == 107
+
+
 def test_wal_decode_counts_pinned(spark):
     """The decode-stage driver query runs over a seeded in-memory fixture;
     its counts are constants — pinned so the rows-only driver check is

@@ -77,6 +77,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warehouse", required=True)
 
     p = sub.add_parser(
+        "record", help="record a live replication slot to recorded-stream "
+                       "files (deploy pipeline: record | bridge | stream); "
+                       "needs psycopg2")
+    p.add_argument("--dsn", required=True)
+    p.add_argument("--slot", default="walstream")
+    p.add_argument("--out", required=True, help="recording directory")
+    p.add_argument("--publications", default="pub")
+    p.add_argument("--protocol-version", type=int, default=2)
+    p.add_argument("--streaming", choices=["off", "on", "parallel"],
+                   default="off")
+    p.add_argument("--two-phase", action="store_true")
+    p.add_argument("--no-messages", action="store_true")
+    p.add_argument("--origin", choices=["none", "any"], default="any")
+    p.add_argument("--max-bytes-per-file", type=int, default=256 << 20)
+
+    p = sub.add_parser(
         "expire", help="delete snapshots/data older than the last N versions")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--keep-last", type=int, default=64)
@@ -84,6 +100,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="one table (default: all)")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "record":
+        # driver-local: no Spark session; psycopg2 imported lazily inside
+        from .options import ReplicationOptions
+        from .tools.recorder import record
+
+        opts = ReplicationOptions(
+            protocol_version=args.protocol_version,
+            publication_names=tuple(args.publications.split(",")),
+            streaming=args.streaming, messages=not args.no_messages,
+            two_phase=args.two_phase, origin=args.origin,
+        )
+        stats = record(args.out, dsn=args.dsn, slot=args.slot, options=opts,
+                       max_bytes_per_file=args.max_bytes_per_file)
+        print(json.dumps(stats))
+        return 0
 
     if args.cmd == "expire":
         # driver-local file ops only — no Spark session needed

@@ -454,6 +454,7 @@ class LakeTable:
         extra_properties: dict | None = None,
         affected_buckets: list[int] | None = None,
         pre_commit_check=None,
+        extra_lineage: dict | None = None,
     ) -> dict:
         """Exactly-once MERGE of a compacted change set.
 
@@ -650,6 +651,8 @@ class LakeTable:
             "phase_ms": phase,
             "skipped": False,
         }
+        if extra_lineage:
+            record.update(extra_lineage)
         if pre_commit_check is not None:
             # caller-supplied validation BEFORE the snapshot commit (the
             # engine's speculative fast path verifies its batch-shape
@@ -734,6 +737,49 @@ class LakeTable:
         key_cols = snap["key_columns"]
         n_buckets = snap["n_buckets"]
         schema = [(n, ty) for n, ty in snap["schema"]]
+
+        # Oversized-bucket guard: a kernel task materializes its bucket's
+        # FULL target in memory (the copy-on-write unit). n_buckets scaling
+        # with table size is the design control; this is the backstop for a
+        # bucket that outgrew it — reroute THIS batch to the declarative
+        # merge (which streams the target through the join instead of
+        # materializing it per task) and stamp the reroute into the lineage
+        # so operators see the signal to re-bucket. Sizes come from the
+        # snapshot's file list via driver-local getsize (O(n_buckets)
+        # syscalls, no Spark job).
+        max_bucket = int(os.environ.get(
+            "WALSTREAM_KERNEL_MAX_BUCKET_BYTES", str(512 << 20)))
+        if max_bucket > 0 and snap["files"]:
+            over: dict[str, int] = {}
+            for b, fl in snap["files"].items():
+                sz = 0
+                for f in fl:
+                    try:
+                        sz += os.path.getsize(self._abs(f))
+                    except OSError:
+                        pass
+                if sz > max_bucket:
+                    over[str(b)] = sz
+            if over:
+                from ..operators.compact import compact_last_image
+
+                data_pairs = [(n, ty) for n, ty in schema
+                              if n not in key_cols]
+                top = dict(sorted(over.items(), key=lambda kv: -kv[1])[:8])
+                return self.merge(
+                    spark,
+                    compact_last_image(images, key_cols, data_pairs),
+                    applied_lsn=applied_lsn, batch_id=batch_id,
+                    extra_properties=extra_properties,
+                    pre_commit_check=pre_commit_check,
+                    extra_lineage={"kernel_reroute": {
+                        "reason": "bucket_bytes_over_cap",
+                        "max_bucket_bytes": max_bucket,
+                        "n_oversized": len(over),
+                        "oversized_buckets": top,
+                    }},
+                )
+
         ensure_shipped(spark)
 
         # partition count: one bucket per task at cluster scale; locally a

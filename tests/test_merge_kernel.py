@@ -353,3 +353,57 @@ def test_kernel_timestamp_key_conform(spark, tmp_path):
     rk = tk.merge_bucketed(spark, images, applied_lsn=10_000)
     assert rk["merge_kernel"] is True
     assert _state(spark, tg) == _state(spark, tk)
+
+
+def test_oversized_bucket_guard_reroutes_to_declarative(
+        spark, tmp_path, monkeypatch):
+    """A kernel task materializes its bucket's FULL target in memory; past
+    WALSTREAM_KERNEL_MAX_BUCKET_BYTES the batch must reroute to the
+    declarative merge (which streams the target through the join), stamp a
+    kernel_reroute lineage event, and land the exact same state. The spy
+    pins that the kernel truly never runs under the guard."""
+    import pg_walstream_spark.lake.merge_kernel as mk
+
+    rows = _rand_workload(7)
+    kt = {"k1": "string", "k2": "string"}
+
+    base = _base_df(spark, 80)
+    ref = LakeTable.create(spark, str(tmp_path / "ref"), base, KEY_COLS,
+                           n_buckets=8)
+    ref_rec = ref.merge_bucketed(
+        spark, dml_images(_events_df(spark, rows), KEY_COLS, DATA_COLS,
+                          key_types=kt),
+        applied_lsn=10_000, batch_id="b0")
+    assert ref_rec["merge_kernel"] is True  # default cap: kernel path
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), base, KEY_COLS,
+                         n_buckets=8)
+
+    def _boom(*a, **k):
+        raise AssertionError("kernel must not run under the guard")
+
+    monkeypatch.setattr(mk, "make_merge_kernel", _boom)
+    monkeypatch.setenv("WALSTREAM_KERNEL_MAX_BUCKET_BYTES", "1")
+    rec = t.merge_bucketed(
+        spark, dml_images(_events_df(spark, rows), KEY_COLS, DATA_COLS,
+                          key_types=kt),
+        applied_lsn=10_000, batch_id="b0")
+
+    assert "merge_kernel" not in rec  # declarative record shape
+    rr = rec["kernel_reroute"]
+    assert rr["reason"] == "bucket_bytes_over_cap"
+    assert rr["n_oversized"] >= 1 and rr["oversized_buckets"]
+    assert rr["max_bucket_bytes"] == 1
+    assert _state(spark, t) == _state(spark, ref)
+    assert rec["upserts"] == ref_rec["upserts"]
+    assert rec["deletes"] == ref_rec["deletes"]
+    # the reroute is visible in the committed lineage, fence advanced once
+    lin = t.snapshot()["lineage"]
+    assert any(r.get("kernel_reroute") for r in lin)
+    assert int(t.snapshot()["properties"]["applied_lsn"]) == 10_000
+    # fence idempotency preserved through the reroute path
+    rec2 = t.merge_bucketed(
+        spark, dml_images(_events_df(spark, rows), KEY_COLS, DATA_COLS,
+                          key_types=kt),
+        applied_lsn=10_000, batch_id="b0")
+    assert rec2["skipped"] is True

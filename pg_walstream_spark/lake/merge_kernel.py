@@ -80,34 +80,62 @@ def _murmur3_int32(v: int, seed: int = 42) -> int:
 
 _SALT_CACHE: dict[int, list[int] | None] = {}
 
+# Above this, give up on exact routing (the salt array literal itself, and
+# the driver-side search, stop being free); waves amortize plain-hash
+# collisions long before partition counts get here anyway.
+SALT_MAX_PARTS = 1 << 16
+
+
+def _murmur3_int32_np(vs: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized ``_murmur3_int32`` (same bit-exact Spark hash) for the
+    salt search: coupon-collecting 4096+ residue classes one scalar hash
+    at a time is seconds of driver Python; one numpy pass is ~ms."""
+    u = np.uint32
+    k1 = vs.astype(np.uint32) * u(0xCC9E2D51)
+    k1 = (k1 << u(15)) | (k1 >> u(17))
+    k1 = k1 * u(0x1B873593)
+    h1 = u(seed) ^ k1
+    h1 = (h1 << u(13)) | (h1 >> u(19))
+    h1 = h1 * u(5) + u(0xE6546B64)
+    h1 = h1 ^ u(4)  # length in bytes
+    h1 ^= h1 >> u(16)
+    h1 = h1 * u(0x85EBCA6B)
+    h1 ^= h1 >> u(13)
+    h1 = h1 * u(0xC2B2AE35)
+    h1 ^= h1 >> u(16)
+    return h1.astype(np.int32)  # java int is signed
+
 
 def partition_salts(n_parts: int) -> list[int] | None:
     """Salts s_0..s_{P-1} with ``pmod(murmur3(s_p), P) == p`` for every p:
-    repartitioning on ``CASE pmod(_bucket, P) WHEN p THEN s_p ...`` sends
-    each residue class to its OWN shuffle partition. Hash partitioning
-    straight on ``_bucket`` collides bucket ids into shared partitions
-    (measured at 16 buckets → 8 partitions: reduce tasks of 0.16 s to
-    2.37 s — a ~20% stage stretch from pure hash luck); the salted residue
-    map is an exact bijection, so per-partition load is the bucket sizes
-    themselves. None above the CASE-expression practicality bound (at
-    cluster scale partitions ≫ cores amortize waves and plain hash is
-    fine)."""
+    repartitioning on the salt for ``pmod(_bucket, P)`` sends each residue
+    class to its OWN shuffle partition. Hash partitioning straight on
+    ``_bucket`` collides bucket ids into shared partitions (measured at 16
+    buckets → 8 partitions: reduce tasks of 0.16 s to 2.37 s — a ~20% stage
+    stretch from pure hash luck); the salted residue map is an exact
+    bijection, so per-partition load is the bucket sizes themselves. The
+    lookup ships as a CASE expression at small P and a constant-folded
+    array literal above (LakeTable.merge_bucketed); None only past
+    SALT_MAX_PARTS."""
     if n_parts in _SALT_CACHE:
         return _SALT_CACHE[n_parts]
-    if n_parts > 512:
+    if n_parts > SALT_MAX_PARTS:
         _SALT_CACHE[n_parts] = None
         return None
-    reps: dict[int, int] = {}
-    v = 0
     budget = 200 * n_parts + 1000
-    while len(reps) < n_parts and v < budget:
-        # python % is already Spark's Pmod (non-negative for positive n)
-        p = _murmur3_int32(v) % n_parts
-        if p not in reps:
-            reps[p] = v
-        v += 1
-    out = ([reps[p] for p in range(n_parts)]
-           if len(reps) == n_parts else None)
+    reps = np.full(n_parts, -1, dtype=np.int64)
+    found = 0
+    for lo in range(0, budget, 1 << 16):
+        chunk = np.arange(lo, min(lo + (1 << 16), budget), dtype=np.int64)
+        # numpy int % positive follows the Python/Pmod sign convention
+        p = _murmur3_int32_np(chunk) % n_parts
+        uniq, idx = np.unique(p, return_index=True)
+        fresh = reps[uniq] < 0
+        reps[uniq[fresh]] = chunk[idx[fresh]]
+        found = int((reps >= 0).sum())
+        if found == n_parts:
+            break
+    out = [int(v) for v in reps] if found == n_parts else None
     _SALT_CACHE[n_parts] = out
     return out
 

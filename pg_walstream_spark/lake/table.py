@@ -811,19 +811,30 @@ class LakeTable:
             schema, key_cols, out_dir, codec)
         withb = images.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets))
-        salts = partition_salts(n_parts)
+        routing = os.environ.get("WALSTREAM_MERGE_ROUTING", "salted")
+        salts = (partition_salts(n_parts) if routing != "hash" else None)
         if salts is not None and n_buckets % n_parts == 0:
             # exact bucket→partition routing: residue class p of _bucket
             # repartitions on a salt whose murmur3 lands in partition p,
             # so every partition carries exactly n_buckets/n_parts buckets
             # (plain hash-of-_bucket collides classes: measured 0.16-2.37 s
             # reduce tasks at 16→8, a ~20% stage stretch)
-            case = ("CASE pmod(_bucket, {P}) ".format(P=n_parts)
-                    + " ".join(f"WHEN {p} THEN {s}"
-                               for p, s in enumerate(salts))
-                    + " END")
-            rep = withb.repartition(
-                n_parts, F.expr(f"CAST(({case}) AS INT)"))
+            if n_parts <= 512:
+                case = ("CASE pmod(_bucket, {P}) ".format(P=n_parts)
+                        + " ".join(f"WHEN {p} THEN {s}"
+                                   for p, s in enumerate(salts))
+                        + " END")
+                expr = f"CAST(({case}) AS INT)"
+            else:
+                # past the CASE practicality bound (cluster-scale partition
+                # counts: P = 2×cores on a 512-core cluster already
+                # overflows it) the same bijection ships as a constant-
+                # folded array literal indexed by the residue — O(1) per
+                # row, one Literal in the plan
+                arr = ",".join(str(s) for s in salts)
+                expr = (f"element_at(array({arr}), "
+                        f"CAST(pmod(_bucket, {n_parts}) AS INT) + 1)")
+            rep = withb.repartition(n_parts, F.expr(expr))
         else:
             rep = withb.repartition(n_parts, "_bucket")
         _mark("plan_build_ms")

@@ -407,3 +407,75 @@ def test_oversized_bucket_guard_reroutes_to_declarative(
                           key_types=kt),
         applied_lsn=10_000, batch_id="b0")
     assert rec2["skipped"] is True
+
+
+def test_salt_search_vectorized_matches_scalar():
+    """partition_salts now coupon-collects with the numpy murmur3; the
+    vectorized hash must stay bit-exact with the scalar pinned against
+    Spark above, and the salts found past the CASE bound (>512) must
+    still be the identity on residue classes."""
+    import numpy as np
+
+    from pg_walstream_spark.lake.merge_kernel import (
+        _murmur3_int32, _murmur3_int32_np, partition_salts,
+    )
+
+    vs = np.arange(4096, dtype=np.int64)
+    vec = _murmur3_int32_np(vs)
+    for v in range(0, 4096, 37):
+        assert int(vec[v]) == _murmur3_int32(v)
+
+    for P in (1024, 4096):
+        salts = partition_salts(P)
+        assert salts is not None and len(salts) == P
+        for p in range(0, P, 101):
+            assert _murmur3_int32(salts[p]) % P == p
+
+
+def test_salted_routing_array_literal_past_512(spark):
+    """Past 512 partitions the salt bijection ships as a constant-folded
+    array literal instead of a CASE; pin the whole chain (salt search →
+    element_at expression → real shuffle) by routing every residue class
+    at P=1024 and asserting each lands in its own partition."""
+    from pyspark.sql import functions as F
+
+    from pg_walstream_spark.lake.merge_kernel import partition_salts
+
+    P = 1024
+    salts = partition_salts(P)
+    assert salts is not None
+    arr = ",".join(str(s) for s in salts)
+    expr = (f"element_at(array({arr}), "
+            f"CAST(pmod(_bucket, {P}) AS INT) + 1)")
+    got = (
+        spark.range(P).withColumnRenamed("id", "_bucket")
+        .repartition(P, F.expr(expr))
+        .select("_bucket", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    assert len(got) == P
+    for r in got:
+        assert r["p"] == r["_bucket"] % P, (r["_bucket"], r["p"])
+
+
+def test_kernel_array_routing_merge_matches_general(spark, tmp_path):
+    """e2e: a merge forced onto >512 partitions (the array-literal salt
+    path) stays byte-identical to the general declarative merge."""
+    rows = _rand_workload(99, n_ops=300, n_keys=50)
+    os.environ["WALSTREAM_MERGE_TASKS"] = "513"
+    try:
+        _run_both(spark, tmp_path, rows, n_buckets=513)
+    finally:
+        os.environ.pop("WALSTREAM_MERGE_TASKS", None)
+
+
+def test_merge_routing_hash_knob_forces_plain_hash(spark, tmp_path):
+    """WALSTREAM_MERGE_ROUTING=hash (the A/B lever for routing
+    measurements) must keep results identical while skipping the salted
+    expression."""
+    rows = _rand_workload(7, n_ops=200, n_keys=40)
+    os.environ["WALSTREAM_MERGE_ROUTING"] = "hash"
+    try:
+        _run_both(spark, tmp_path, rows, n_buckets=16)
+    finally:
+        os.environ.pop("WALSTREAM_MERGE_ROUTING", None)

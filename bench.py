@@ -91,6 +91,16 @@ def make_session(cores: int, name: str):
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
                 "true")
+        # ROOT-CAUSED (round 7, live stacks in EVIDENCE_r7.md): the rare
+        # replay hang is a JVM↔python-worker socket interleave stall —
+        # worker blocked in tcp_sendmsg writing output, JVM's
+        # ReaderInputStream select loop never draining it, both queues
+        # jammed. The worker idle-timeout kill turns that infinite stall
+        # into a task failure Spark retries (LSN fence keeps the batch
+        # idempotent); speculation alone cannot save 1-task stages.
+        .config("spark.python.worker.idleTimeoutSeconds",
+                os.environ.get("BENCH_PY_IDLE_TIMEOUT", "300"))
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.speculation", "true")
         .config("spark.speculation.interval", "5s")
         .config("spark.speculation.multiplier", "4")
@@ -251,14 +261,22 @@ def run_replay_guarded(cores: int, frames: str, base_p: str, n_events: int,
     wholesale on timeout). Round 5's driver bench hung in one replay stage
     and the timeout zeroed the ENTIRE artifact; a per-replay watchdog turns
     a hang into one missing measurement while the protocol continues.
-    Returns (wall, decode_n, decode_s) or (None, None, None) on
-    timeout/crash. BENCH_NO_SUBPROC=1 keeps the old in-process path."""
+    Returns (wall, decode_n, decode_s, midrun_samples) — the first three
+    None on timeout/crash. midrun_samples: one {"t", "probe", "bw"} dict
+    per BENCH_MIDRUN_EVERY seconds of child runtime, probed from the
+    OTHERWISE-IDLE parent — a burst entirely inside a long leg (the 24-33 s
+    local[1] replays outlive their bracketing probes) is thereby visible
+    and invalidates the pair instead of silently polluting the median.
+    BENCH_NO_SUBPROC=1 keeps the old in-process path (no mid-run data)."""
     if os.environ.get("BENCH_NO_SUBPROC") == "1":
-        return run_replay(cores, frames, base_p, n_events, with_decode)
+        return (*run_replay(cores, frames, base_p, n_events, with_decode),
+                [])
     import signal
     import subprocess
     import tempfile
 
+    mid_every = float(os.environ.get("BENCH_MIDRUN_EVERY", "30"))
+    samples: list[dict] = []
     fd, out = tempfile.mkstemp(prefix="walstream_bench_res_",
                                suffix=".json")
     os.close(fd)
@@ -268,32 +286,45 @@ def run_replay_guarded(cores: int, frames: str, base_p: str, n_events: int,
             "n_events": n_events, "with_decode": with_decode, "out": out}
     try:
         with open(log, "w") as lf:
+            t_start = time.monotonic()
             p = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--replay-child", json.dumps(args)],
                 stdout=lf, stderr=subprocess.STDOUT,
                 start_new_session=True,
             )
-            try:
-                rc = p.wait(timeout=timeout_s)
-            except subprocess.TimeoutExpired:
+            next_probe = t_start + mid_every
+            rc = None
+            while rc is None:
+                remaining = t_start + timeout_s - time.monotonic()
+                if remaining <= 0:
+                    try:
+                        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    except OSError:
+                        pass
+                    p.wait()
+                    sys.stderr.write(
+                        f"[bench] replay local[{cores}] KILLED after "
+                        f"{timeout_s:.0f}s watchdog (log: {log})\n")
+                    return None, None, None, samples
                 try:
-                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-                except OSError:
-                    pass
-                p.wait()
-                sys.stderr.write(
-                    f"[bench] replay local[{cores}] KILLED after "
-                    f"{timeout_s:.0f}s watchdog (log: {log})\n")
-                return None, None, None
+                    rc = p.wait(timeout=min(1.0, remaining))
+                except subprocess.TimeoutExpired:
+                    if time.monotonic() >= next_probe:
+                        samples.append({
+                            "t": round(time.monotonic() - t_start, 1),
+                            "probe": round(_steal_probe(), 3),
+                            "bw": round(_bw_probe(), 3),
+                        })
+                        next_probe = time.monotonic() + mid_every
         if rc != 0:
             sys.stderr.write(
                 f"[bench] replay local[{cores}] exited rc={rc} "
                 f"(log: {log})\n")
-            return None, None, None
+            return None, None, None, samples
         with open(out) as f:
             r = json.load(f)
-        return r["dt"], r["dn"], r["ddt"]
+        return r["dt"], r["dn"], r["ddt"], samples
     finally:
         try:
             os.remove(out)
@@ -563,6 +594,11 @@ def main():
     # see _steal_probe). All pairs and all probes are published either way.
     round_probes: list[list[float]] = []
     round_bws: list[list[float]] = []
+    # per round, one {"level", "samples"} entry per run: the ≤30 s-cadence
+    # probes sampled from the idle parent WHILE the leg ran (see
+    # run_replay_guarded) — a burst inside a leg longer than its brackets
+    # now invalidates the pair
+    round_mid: list[list[dict]] = []
 
     def _probe(new_round: bool = False) -> None:
         # both probes at every bracket point: compute-bound (arithmetic
@@ -571,15 +607,18 @@ def main():
         if new_round:
             round_probes.append([])
             round_bws.append([])
+            round_mid.append([])
         round_probes[-1].append(_steal_probe())
         round_bws[-1].append(_bw_probe())
 
     _probe(new_round=True)
-    t_small, dn_s, ddt_s = run_replay_guarded(
+    t_small, dn_s, ddt_s, mid = run_replay_guarded(
         N_SMALL, frames, base_p, n_events, True, _budget(replay_cap))
+    round_mid[-1].append({"level": N_SMALL, "samples": mid})
     _probe()
-    t_big, dn_b, ddt_b = run_replay_guarded(
+    t_big, dn_b, ddt_b, mid = run_replay_guarded(
         N_BIG, frames, base_p, n_events, True, _budget(replay_cap))
+    round_mid[-1].append({"level": N_BIG, "samples": mid})
     _probe()
     # interleave pair members back-to-back: (N, 4N) then (2N, 8N)
     levels = [N_SMALL, N_BIG, 2 * N_SMALL, 8 * N_SMALL]
@@ -597,9 +636,10 @@ def main():
             break
         _probe(new_round=True)
         for lvl in order:
-            t, _, _ = run_replay_guarded(lvl, frames, base_p, n_events,
-                                         False, _budget(replay_cap))
+            t, _, _, mid = run_replay_guarded(lvl, frames, base_p, n_events,
+                                              False, _budget(replay_cap))
             times.setdefault(lvl, []).append(t)
+            round_mid[-1].append({"level": lvl, "samples": mid})
             _probe()
 
     def _best(ts):
@@ -613,8 +653,8 @@ def main():
     # reference-comparison point: the Rust baseline ran on an 8-vCPU host
     t_eight = best.get(8)
     if t_eight is None and deadline - time.monotonic() > 180:
-        t_eight, _, _ = run_replay_guarded(8, frames, base_p, n_events,
-                                           False, _budget(replay_cap))
+        t_eight, _, _, _ = run_replay_guarded(8, frames, base_p, n_events,
+                                              False, _budget(replay_cap))
 
     probe_floor = min(min(pr) for pr in round_probes)
     # 1.3: the probe's own min-of-3 spread inside a verified-clean round
@@ -627,12 +667,40 @@ def main():
     # a bandwidth-stealing neighbor produces
     bw_thr = float(os.environ.get("BENCH_BW_THRESH", "1.25"))
 
+    # mid-run floors are PER CORE LEVEL: while a leg runs, the parent's
+    # probes share the box with it, so a local[8] leg's in-flight bw
+    # reading includes the replay's own bus traffic — comparable only to
+    # other in-flight readings at the same level, never to the idle
+    # bracket floor. Thresholds are slightly looser than the bracket
+    # gate's for the same reason (in-flight self-noise).
+    mid_thr = float(os.environ.get("BENCH_MID_THRESH", "1.35"))
+    mid_bw_thr = float(os.environ.get("BENCH_MID_BW_THRESH", "1.3"))
+    mid_floor: dict[int, dict[str, float]] = {}
+    for rd in round_mid:
+        for run in rd:
+            for s in run["samples"]:
+                fl = mid_floor.setdefault(
+                    run["level"], {"probe": s["probe"], "bw": s["bw"]})
+                fl["probe"] = min(fl["probe"], s["probe"])
+                fl["bw"] = min(fl["bw"], s["bw"])
+
     def _round_clean(ri: int, i: int, j: int) -> bool:
         span = round_probes[ri][i:j + 2]  # probes bracketing runs i..j
         bspan = round_bws[ri][i:j + 2]
-        return (bool(span)
+        if not (bool(span)
                 and all(p <= probe_thr * probe_floor for p in span)
-                and all(p <= bw_thr * bw_floor for p in bspan))
+                and all(p <= bw_thr * bw_floor for p in bspan)):
+            return False
+        for run in (round_mid[ri][i:j + 1]
+                    if ri < len(round_mid) else []):
+            fl = mid_floor.get(run["level"])
+            if not fl:
+                continue
+            for s in run["samples"]:
+                if (s["probe"] > mid_thr * fl["probe"]
+                        or s["bw"] > mid_bw_thr * fl["bw"]):
+                    return False
+        return True
 
     def _paired_eff(lo_lvl, hi_lvl, run_i, run_j):
         lo, hi = times.get(lo_lvl, []), times.get(hi_lvl, [])
@@ -757,6 +825,25 @@ def main():
                 "clean_pairs_2_8": clean_2_8,
                 "n_clean_1_4": n_clean_1_4,
                 "n_clean_2_8": n_clean_2_8,
+                # ≤30 s-cadence in-flight probes per leg (see
+                # run_replay_guarded): offsets are seconds into the child;
+                # the tail gap is bounded by the cadence + ~1 s poll by
+                # construction
+                "midrun_probes": round_mid,
+                "midrun_cadence_s": float(
+                    os.environ.get("BENCH_MIDRUN_EVERY", "30")),
+                "midrun_floors": {
+                    str(lvl): {k: round(v, 3) for k, v in fl.items()}
+                    for lvl, fl in sorted(mid_floor.items())
+                },
+                "midrun_thresholds": {"probe": mid_thr, "bw": mid_bw_thr},
+                "max_observed_probe_gap_s": max(
+                    (max(b - a for a, b in
+                         zip([0.0] + [s["t"] for s in run["samples"]],
+                             [s["t"] for s in run["samples"]]))
+                     for rd in round_mid for run in rd
+                     if run["samples"]),
+                    default=None),
             },
             "query_runs": qruns,
             "query_rounds": int(os.environ.get("BENCH_QUERY_ROUNDS", "3")),
@@ -840,9 +927,17 @@ def main():
                 f"its floor ({bw_floor:.3f}s); fewer than 2 clean pairs "
                 "falls back to all valid pairs. This round: "
                 f"{n_clean_1_4} clean 1→4 pairs (mask {clean_1_4}), "
-                f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}); both "
-                "probe series per round in BENCH_LATEST.json "
-                "`steal_probes` / `bw_probes`.\n\n"
+                f"{n_clean_2_8} clean 2→8 pairs (mask {clean_2_8}). "
+                "Long legs are additionally probed IN FLIGHT every "
+                f"{float(os.environ.get('BENCH_MIDRUN_EVERY', '30')):.0f}s "
+                "from the otherwise-idle parent (so a burst entirely "
+                "inside a 25-35 s local[1] leg invalidates its pair too); "
+                "in-flight readings gate against PER-LEVEL floors at "
+                f"{mid_thr:.2f}x/{mid_bw_thr:.2f}x since they include the "
+                "leg's own contention. Both bracket probe series, the "
+                "per-leg in-flight samples and floors are in "
+                "BENCH_LATEST.json (`steal_probes` / `bw_probes` / "
+                "`midrun_probes`).\n\n"
                 + (
                     f"Scaling efficiency on the {2 * N_SMALL} → "
                     f"{8 * N_SMALL} pair (published alongside so the basis "
@@ -868,7 +963,19 @@ def main():
                 "median of BENCH_QUERY_ROUNDS warm runs per query "
                 "(single-shot times were steal-polluted by >10x in round "
                 "4); medians in the stdout line / BENCH_r*.json, per-run "
-                "detail in BENCH_LATEST.json.\n"
+                "detail in BENCH_LATEST.json.\n\n"
+                "MERGE routing at production bucket counts (round-7 "
+                "interleaved A/B, 1024 buckets x 1024 partitions, 2M-row "
+                "table, 600k-image batches, states verified identical — "
+                "EVIDENCE_r7.md §8): salted exact routing (now available "
+                "to 65536 partitions via a constant-folded salt-array "
+                "literal) wins ~20% in the few-wave cluster regime "
+                "(P ≈ 2x cores); at 32 waves plain hash measured ~13% "
+                "FASTER (385/1024 empty tasks cost nothing, collisions "
+                "amortize across waves, salting pays 1024 non-empty task "
+                "overheads) — so the kernel picks routing by wave count "
+                "(salted ≤ WALSTREAM_SALT_MAX_WAVES=4 waves, hash "
+                "beyond; WALSTREAM_MERGE_ROUTING forces either).\n"
             )
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LATEST.json"), "w") as f:

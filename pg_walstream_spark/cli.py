@@ -29,6 +29,13 @@ def _session(app: str, master: str | None):
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+    # break JVM↔python-worker socket stalls (see EVIDENCE_r7.md): a
+    # killed idle worker fails the task, Spark retries it, and the LSN
+    # fence keeps the replayed batch idempotent
+    b = b.config(
+        "spark.python.worker.idleTimeoutSeconds",
+        os.environ.get("WALSTREAM_PY_IDLE_TIMEOUT", "300"),
+    ).config("spark.python.worker.killOnIdleTimeout", "true")
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

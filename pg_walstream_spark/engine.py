@@ -51,6 +51,15 @@ _PG_TYPE_TO_SPARK = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
                      25: "string", 700: "float", 701: "double", 1043: "string",
                      1114: "timestamp", 1184: "timestamp"}
 
+# The frame-file contract (fixtures/wal_gen.FRAME_SCHEMA). Replay reads
+# pass it explicitly — parquet schema inference otherwise spends a
+# footer-sampling Spark job per replay_frames call (streaming already
+# reads schema-fixed; the contracts must stay identical).
+FRAME_SPARK_DDL = (
+    "seq long, wal_start long, wal_end long, server_time long, tag int, "
+    "data binary"
+)
+
 def tune_input_splits(spark: SparkSession, paths) -> None:
     """Size parquet input splits to the replay input so the decode scan
     gets ~2 tasks per core.
@@ -548,8 +557,17 @@ class ReplayEngine:
         fixtures/wal_gen.write_frames), the per-batch control scan reads it
         instead of re-scanning the full WAL payload column — the control
         channel is a few thousand tiny rows per million frames."""
+        import time as _time
+
+        setup_ms = {}
+        _t = _time.monotonic()
         self._tune_input_splits([frames_path])
-        all_frames = self.spark.read.parquet(frames_path)
+        setup_ms["tune"] = int((_time.monotonic() - _t) * 1000)
+        _t = _time.monotonic()
+        all_frames = self.spark.read.schema(FRAME_SPARK_DDL).parquet(
+            frames_path)
+        setup_ms["read_plan"] = int((_time.monotonic() - _t) * 1000)
+        _t = _time.monotonic()
         ctrl_path = frames_path.rstrip("/") + "_control"
         control_table = None
         if os.path.isdir(ctrl_path):
@@ -561,6 +579,8 @@ class ReplayEngine:
             control_table = _pq.read_table(
                 ctrl_path, columns=["seq", "wal_start", "data"]
             ).sort_by("seq")
+        setup_ms["control_read"] = int((_time.monotonic() - _t) * 1000)
+        _t = _time.monotonic()
         # seq bounds from parquet footers (driver-side, no Spark job);
         # Spark full-scan agg only as the fallback for foreign files
         # without statistics. Two layout hazards around the flat
@@ -597,6 +617,7 @@ class ReplayEngine:
                     "frames. Keep frame files flat in one directory."
                 )
         spans = seq_spans_from_footers(local_files) if local_files else None
+        setup_ms["spans"] = int((_time.monotonic() - _t) * 1000)
         if spans is not None:
             if not spans:
                 return {"batches": 0,
@@ -660,7 +681,7 @@ class ReplayEngine:
             if rec.get("stopped"):
                 break
         return {"batches": len(summary), "applied_lsn": st["applied_lsn"],
-                "records": summary}
+                "records": summary, "setup_ms": setup_ms}
 
     # -------------------------------------------------- speculative fast path
 
@@ -701,7 +722,7 @@ class ReplayEngine:
 
         events = decode_frames_df(frames, ctx)
         if not self.options.messages:
-            events = events.filter(F.col("event_type") != "message")
+            events = events.filter("event_type != 'message'")
         if self.options.origin == "none" and getattr(ctx, "has_origin",
                                                      False):
             from .operators.raw import filter_origin
@@ -710,42 +731,41 @@ class ReplayEngine:
                 events, "none",
                 foreign_xids=sorted(getattr(ctx, "origin_xids", ())),
             )
-        is_dml = (
-            F.col("event_type").isin(list(DML_TYPES))
-            & F.col("error").isNull()
-        )
+        # plan built from SQL strings, not Column objects: the fast path
+        # runs once per micro-batch and every Column construction is a
+        # py4j round trip — ~25 of them here measured as a visible slice
+        # of the per-batch driver-serial tail (same reason as the r3
+        # selectExpr conversion in compact/merge)
+        from .operators.compact import _qs
+
+        dml_sql = ("event_type IN ("
+                   + ",".join(f"'{t}'" for t in DML_TYPES)
+                   + ") AND error IS NULL")
+        apply_sql = ("event_type IN ("
+                     + ",".join(f"'{t}'" for t in APPLY_TYPES)
+                     + ") AND error IS NULL")
+        tq = _qs(tname)
         from pyspark.sql import Observation
 
         obs = Observation()
-        events = events.observe(
+        # ONE struct-valued metric instead of four scalar ones: at this
+        # box's py4j latency every extra Column is ~10 ms of per-batch
+        # driver-serial time
+        ev = events.observe(
             obs,
-            F.count(F.when(F.col("error").isNotNull(), 1)).alias("quar"),
-            F.count(
-                F.when(
-                    F.col("event_type").isin(list(APPLY_TYPES))
-                    & F.col("error").isNull()
-                    & F.col("txn_status").isin(["open", "prepared"]),
-                    1,
-                )
-            ).alias("pend"),
-            F.count(
-                F.when(
-                    (F.col("event_type") == "truncate")
-                    & (F.col("txn_status") == "committed"),
-                    1,
-                )
-            ).alias("trunc"),
-            F.count(
-                F.when(
-                    is_dml & (F.col("txn_status") == "committed")
-                    & (F.col("table_name") != tname),
-                    1,
-                )
-            ).alias("other_tables"),
-        ).filter(is_dml & (F.col("txn_status") == "committed"))
-        ev = events.filter(
-            (F.col("table_name") == tname)
-            & (F.col("end_lsn") > fence_floor)
+            F.expr(
+                "named_struct("
+                "'quar', count(CASE WHEN error IS NOT NULL THEN 1 END), "
+                f"'pend', count(CASE WHEN {apply_sql} AND txn_status IN "
+                "('open','prepared') THEN 1 END), "
+                "'trunc', count(CASE WHEN event_type = 'truncate' AND "
+                "txn_status = 'committed' THEN 1 END), "
+                f"'other_tables', count(CASE WHEN {dml_sql} AND txn_status"
+                f" = 'committed' AND table_name != {tq} THEN 1 END))"
+            ).alias("m"),
+        ).filter(
+            f"{dml_sql} AND txn_status = 'committed' AND table_name = "
+            f"{tq} AND end_lsn > {int(fence_floor)}"
         )
         t = self.table(tname)
         snap = t.snapshot()
@@ -755,7 +775,7 @@ class ReplayEngine:
                      if n not in key_cols]
 
         def _check(_record):
-            m = obs.get
+            m = obs.get["m"]
             if int(m["pend"]) or int(m["trunc"]) or int(m["other_tables"]):
                 raise _FastPathViolation(
                     f"pend={int(m['pend'])} trunc={int(m['trunc'])} "
@@ -808,7 +828,7 @@ class ReplayEngine:
             # reprocesses the batch and the fence keeps it idempotent.
             return None
         trec["table"] = tname
-        quar = int(obs.get["quar"])
+        quar = int(obs.get["m"]["quar"])
         rec = {
             "batch_idx": batch_idx,
             "applied_lsn": max(fence_floor, int(hi_commit)),
@@ -837,8 +857,13 @@ class ReplayEngine:
         if seq_range is not None:
             st["max_seq"] = max(int(st.get("max_seq") or -1),
                                 int(seq_range[1]))
+        import time as _time
+
+        _t0 = _time.monotonic()
         _append_metrics(st, rec)
         self._save_state(st)
+        rec.setdefault("phase_ms", {})["state_save"] = int(
+            (_time.monotonic() - _t0) * 1000)
         self._maybe_expire(batch_idx)
 
     EXPIRE_EVERY = int(os.environ.get("WALSTREAM_EXPIRE_EVERY", "64"))

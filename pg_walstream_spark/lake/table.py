@@ -811,7 +811,22 @@ class LakeTable:
             schema, key_cols, out_dir, codec)
         withb = images.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets))
-        routing = os.environ.get("WALSTREAM_MERGE_ROUTING", "salted")
+        # Routing choice is WAVE-AWARE (round-7 interleaved A/B at 1024
+        # buckets/1024 parts, EVIDENCE_r7.md §8): exact salted routing
+        # wins when tasks ≈ waves×cores is small (a collided task carrying
+        # 6 buckets stretches a 1-2-wave stage ~3-6×; measured ~20% at 2
+        # waves), but at many waves the collisions amortize across the
+        # wave schedule and salting only pays 1024 non-empty task
+        # overheads — plain hash measured ~13% FASTER at 32 waves (385 of
+        # 1024 tasks empty, finishing instantly). Cluster configs
+        # (P = n_buckets ≈ 2×cores) sit in the few-wave regime where
+        # exact routing matters.
+        routing = os.environ.get("WALSTREAM_MERGE_ROUTING", "auto")
+        if routing == "auto":
+            par = max(1, spark.sparkContext.defaultParallelism)
+            waves = -(-n_parts // par)
+            max_waves = int(os.environ.get("WALSTREAM_SALT_MAX_WAVES", "4"))
+            routing = "salted" if waves <= max_waves else "hash"
         salts = (partition_salts(n_parts) if routing != "hash" else None)
         if salts is not None and n_buckets % n_parts == 0:
             # exact bucket→partition routing: residue class p of _bucket
@@ -838,7 +853,23 @@ class LakeTable:
         else:
             rep = withb.repartition(n_parts, "_bucket")
         _mark("plan_build_ms")
-        stats = rep.mapInArrow(fn, STATS_DDL).collect()
+        # AQE adds nothing to this job — the partitioning is an explicit
+        # repartition(n) AQE will not coalesce — but its runtime re-plan
+        # splits the query into two jobs with a driver round trip between
+        # them (~0.1 s/batch measured interleaved at local[8]). Disable it
+        # for the kernel job only; WALSTREAM_KERNEL_AQE=1 restores it.
+        aqe_key = "spark.sql.adaptive.enabled"
+        spark_sess = images.sparkSession
+        aqe_prev = spark_sess.conf.get(aqe_key, "true")
+        toggle = (os.environ.get("WALSTREAM_KERNEL_AQE", "0") != "1"
+                  and aqe_prev == "true")
+        try:
+            if toggle:
+                spark_sess.conf.set(aqe_key, "false")
+            stats = rep.mapInArrow(fn, STATS_DDL).collect()
+        finally:
+            if toggle:
+                spark_sess.conf.set(aqe_key, aqe_prev)
         _mark("join_write_ms")
 
         by_bucket = {int(r["bucket"]): r for r in stats
@@ -880,6 +911,7 @@ class LakeTable:
             "phase_ms": phase,
             "skipped": False,
         }
+        _mark("stats_ms")
         if pre_commit_check is not None:
             try:
                 pre_commit_check(record)
@@ -888,6 +920,9 @@ class LakeTable:
 
                 shutil.rmtree(out_dir, ignore_errors=True)
                 raise
+        # post-job listener wait: Observation.get blocks on the async
+        # QueryExecutionListener bus, a fixed driver-serial cost
+        _mark("precommit_ms")
         snap2 = {
             "version": snap["version"] + 1,
             "schema": snap["schema"],
@@ -905,6 +940,9 @@ class LakeTable:
             "lineage": _append_lineage(snap["lineage"], record),
         }
         self._commit(snap2)
+        # visible in the returned record (engine metrics), not in the
+        # lineage row — that was serialized inside _commit
+        _mark("commit_ms")
         return record
 
     # ----------------------------------------------------------- maintenance

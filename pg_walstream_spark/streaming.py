@@ -27,12 +27,9 @@ from time import monotonic as _monotonic
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .engine import ReplayEngine
+from .engine import FRAME_SPARK_DDL, ReplayEngine
 
-FRAME_SPARK_DDL = (
-    "seq long, wal_start long, wal_end long, server_time long, tag int, "
-    "data binary"
-)
+__all__ = ["FRAME_SPARK_DDL", "ingest_frames_batch", "start_stream"]
 
 
 def _local_path(p: str) -> str:

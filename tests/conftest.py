@@ -15,6 +15,10 @@ def spark():
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JVM<->python-worker stall mitigation (EVIDENCE_r7.md): kill +
+        # task-retry instead of an infinite suite hang
+        .config("spark.python.worker.idleTimeoutSeconds", "300")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .getOrCreate()
     )
     yield s

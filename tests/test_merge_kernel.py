@@ -460,13 +460,17 @@ def test_salted_routing_array_literal_past_512(spark):
 
 def test_kernel_array_routing_merge_matches_general(spark, tmp_path):
     """e2e: a merge forced onto >512 partitions (the array-literal salt
-    path) stays byte-identical to the general declarative merge."""
+    path) stays byte-identical to the general declarative merge. Salted
+    routing is forced — the wave-aware auto mode would pick plain hash
+    at 129 waves on the 4-core test session."""
     rows = _rand_workload(99, n_ops=300, n_keys=50)
     os.environ["WALSTREAM_MERGE_TASKS"] = "513"
+    os.environ["WALSTREAM_MERGE_ROUTING"] = "salted"
     try:
         _run_both(spark, tmp_path, rows, n_buckets=513)
     finally:
         os.environ.pop("WALSTREAM_MERGE_TASKS", None)
+        os.environ.pop("WALSTREAM_MERGE_ROUTING", None)
 
 
 def test_merge_routing_hash_knob_forces_plain_hash(spark, tmp_path):
@@ -479,3 +483,50 @@ def test_merge_routing_hash_knob_forces_plain_hash(spark, tmp_path):
         _run_both(spark, tmp_path, rows, n_buckets=16)
     finally:
         os.environ.pop("WALSTREAM_MERGE_ROUTING", None)
+
+
+def test_wave_aware_routing_auto_selects(spark, tmp_path, monkeypatch):
+    """Auto routing picks salted in the few-wave regime and plain hash
+    past WALSTREAM_SALT_MAX_WAVES (round-7 A/B: hash ~13% faster at 32
+    waves, salted ~20% faster at 2 — EVIDENCE_r7.md §8). Pinned through
+    the real merge by spying the repartition expression."""
+    try:  # Spark 4: instances are the classic class, not the sql shim
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    exprs = []
+    orig = DataFrame.repartition
+
+    def spy(self, n, *cols):
+        exprs.append((n, [str(c) for c in cols]))
+        return orig(self, n, *cols)
+
+    monkeypatch.setattr(DataFrame, "repartition", spy)
+    rows = _rand_workload(11, n_ops=120, n_keys=30)
+    base = _base_df(spark, 80)
+    kt = {"k1": "string", "k2": "string"}
+
+    # few waves (16 parts / 4 cores = 4 waves ≤ default 4) → salted CASE
+    t1 = LakeTable.create(spark, str(tmp_path / "few"), base, KEY_COLS,
+                          n_buckets=16)
+    ev = _events_df(spark, rows)
+    t1.merge_bucketed(
+        spark, dml_images(ev, KEY_COLS, DATA_COLS, key_types=kt),
+        applied_lsn=10_000)
+    assert any("CASE" in c for _, cols in exprs for c in cols)
+
+    # many waves (64 parts / 4 cores = 16 waves) → plain hash on _bucket
+    exprs.clear()
+    os.environ["WALSTREAM_MERGE_TASKS"] = "64"
+    try:
+        t2 = LakeTable.create(spark, str(tmp_path / "many"), base,
+                              KEY_COLS, n_buckets=64)
+        t2.merge_bucketed(
+            spark, dml_images(ev, KEY_COLS, DATA_COLS, key_types=kt),
+            applied_lsn=10_000)
+    finally:
+        os.environ.pop("WALSTREAM_MERGE_TASKS", None)
+    assert exprs and all(
+        "CASE" not in c and "element_at" not in c
+        for _, cols in exprs for c in cols)

@@ -301,3 +301,38 @@ def test_carried_catalog_reannounce_is_not_schema_change():
     assert ctx2.schema_changes == []
     for vs in ctx2.catalog.values():
         assert all(isinstance(v, RelationVersion) for v in vs)
+
+
+def test_fast_begin_commit_matches_parser():
+    """build_context's inline Begin/Commit slicing must stay
+    field-identical to PyWalParser.parse for every control frame the
+    fixtures produce — and defer (return None) on anything it cannot
+    prove, including short frames (which must raise through the parser
+    exactly as before)."""
+    from pg_walstream_spark.operators.decode import _fast_begin_commit
+
+    parser = PyWalParser(2)
+    checked = {"begin": 0, "commit": 0, "other": 0}
+    for gen in (lambda: wg.gen_basic(n_base=30, n_txns=6, ops_per_txn=4),
+                lambda: wg.gen_streaming_2pc()):
+        out = gen()
+        t = out[1].to_table() if isinstance(out, tuple) else out.to_table()
+        for row in t.to_pylist():
+            data = bytes(row["data"])
+            fast = _fast_begin_commit(data)
+            if fast is None:
+                checked["other"] += 1
+                continue
+            assert fast == parser.parse(data)
+            checked[fast["event_type"]] += 1
+    assert checked["begin"] > 0 and checked["commit"] > 0
+
+    # short/truncated B and C frames must defer to the parser
+    assert _fast_begin_commit(b"B") is None
+    assert _fast_begin_commit(b"B" + b"\x00" * 19) is None
+    assert _fast_begin_commit(b"C" + b"\x00" * 24) is None
+    assert _fast_begin_commit(b"") is None
+    # trailing bytes are ignored, like the reader
+    full_b = b"B" + (7).to_bytes(8, "big") + (9).to_bytes(8, "big") \
+        + (3).to_bytes(4, "big")
+    assert _fast_begin_commit(full_b + b"xx") == parser.parse(full_b + b"xx")

@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", default=None,
                    help="one table (default: all)")
 
+    p = sub.add_parser(
+        "rebucket", help="rewrite a table at a new bucket count (answers "
+                         "kernel_reroute lineage signals on grown tables; "
+                         "also compacts away rename/column history, "
+                         "re-enabling the kernel merge path)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "record":
@@ -138,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
             if t.exists:
                 out[n] = t.expire_snapshots(args.keep_last)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "rebucket":
+        spark = _session("walstream-rebucket", args.master)
+        from .lake.table import LakeTable
+
+        t = LakeTable(os.path.join(args.warehouse, "tables", args.table))
+        if not t.exists:
+            print(json.dumps({"error": f"no such table: {args.table}"}))
+            return 1
+        print(json.dumps(t.rebucket(spark, args.buckets, reason="cli")))
         return 0
 
     if args.cmd == "bootstrap":

@@ -744,7 +744,8 @@ class LakeTable:
         # bucket that outgrew it — reroute THIS batch to the declarative
         # merge (which streams the target through the join instead of
         # materializing it per task) and stamp the reroute into the lineage
-        # so operators see the signal to re-bucket. Sizes come from the
+        # so operators see the signal to re-bucket (``rebucket`` / the
+        # `rebucket` CLI verb is the answering operation). Sizes come from the
         # snapshot's file list via driver-local getsize (O(n_buckets)
         # syscalls, no Spark job).
         max_bucket = int(os.environ.get(
@@ -946,6 +947,104 @@ class LakeTable:
         return record
 
     # ----------------------------------------------------------- maintenance
+
+    def rebucket(self, spark: SparkSession, n_buckets: int,
+                 reason: str | None = None) -> dict:
+        """Online bucket-count change: rewrite the live rows at a new
+        bucket count and commit it as one snapshot.
+
+        Why this exists at scale: ``n_buckets`` is both the unit of merge
+        parallelism and the kernel merge's copy-on-write memory bound (a
+        kernel task materializes its bucket's target; ``merge_bucketed``
+        reroutes batches past WALSTREAM_KERNEL_MAX_BUCKET_BYTES to the
+        declarative path and stamps a ``kernel_reroute`` lineage record as
+        the re-bucket signal). A growing table answers that signal here
+        without downtime: one bucketed write job, an atomic snapshot
+        commit; a crash before the commit leaves only an orphan
+        ``s{N}-…`` dir (its N exceeds CURRENT so it is never confused for
+        live data) that ``expire_snapshots`` sweeps once the version
+        counter passes it.
+
+        The rewrite reads through the CURRENT schema — rename aliases
+        coalesced, ``column_since`` masks applied — so the new files carry
+        exactly the live columns, and the commit clears the
+        aliases/column_since/dropped_names history they encoded. That also
+        re-enables the Arrow kernel merge path
+        (``bucketed_merge_eligible``) for tables that had accumulated
+        rename history. ``applied_lsn`` and all other properties carry
+        over unchanged, so replay fencing is unaffected.
+
+        Row conservation is enforced before commit: rows fed to the write
+        job (Observation) must equal the old snapshot's row count taken
+        from parquet footer statistics (driver-local metadata reads — an
+        anchor independent of the read path under test). A mismatch
+        abandons the new files and raises; CURRENT is untouched.
+
+        Same-count calls are skipped unless there is schema history to
+        compact away (rewriting N identical buckets is pure cost).
+        Single-writer like every other commit path: do not run
+        concurrently with a replay into the same table.
+        """
+        import pyarrow.parquet as pq
+        from pyspark.sql import Observation
+
+        n_buckets = int(n_buckets)
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        snap = self.snapshot()
+        old_n = int(snap["n_buckets"])
+        has_history = bool(snap.get("aliases") or snap.get("column_since")
+                           or snap.get("dropped_names"))
+        if n_buckets == old_n and not has_history:
+            return {"event": "rebucket", "skipped": True,
+                    "n_buckets": old_n}
+        t0 = time.monotonic()
+        n_before = 0
+        for fl in snap["files"].values():
+            for f in fl:
+                n_before += pq.ParquetFile(self._abs(f)).metadata.num_rows
+        new_version = snap["version"] + 1
+        df = self.read(spark)
+        obs = None
+        if n_before > 0:
+            # runtime-empty plans can lose CollectMetrics under AQE
+            # (see _ensure_observation_safe_aqe); a statically-empty
+            # table skips the observation entirely — its count is known
+            _ensure_observation_safe_aqe(spark)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        files = self._write_buckets(
+            df.withColumn(
+                "_bucket", self._bucket_expr(snap["key_columns"], n_buckets)
+            ),
+            snapshot_version=new_version,
+        )
+        n_written = int(obs.get["n"]) if obs is not None else 0
+        if n_written != n_before:
+            import glob as _glob
+            import shutil
+
+            for d in _glob.glob(
+                os.path.join(self.data_dir, f"s{new_version}-*")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+            raise RuntimeError(
+                f"rebucket row-conservation violation: {n_before} rows in "
+                f"snapshot v{snap['version']} (footer stats) vs {n_written} "
+                "written; new files discarded, CURRENT unchanged"
+            )
+        record = {"event": "rebucket", "from": old_n, "to": n_buckets,
+                  "rows": n_written, "reason": reason,
+                  "history_cleared": has_history,
+                  "wall_ms": int((time.monotonic() - t0) * 1000)}
+        snap["version"] = new_version
+        snap["n_buckets"] = n_buckets
+        snap["files"] = files
+        for k in ("aliases", "column_since", "dropped_names"):
+            snap.pop(k, None)
+        snap["lineage"] = _append_lineage(snap["lineage"], record)
+        self._commit(snap)
+        return record
 
     def expire_snapshots(self, keep_last: int = 64) -> dict:
         """Delete snapshot metadata and data files older than the last

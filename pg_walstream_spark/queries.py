@@ -1216,6 +1216,58 @@ WAL_S2PC_SQL = f"""
 SELECT '{WAL_S2PC_FP}' AS table_fingerprint, CAST(107 AS BIGINT) AS n_rows
 """
 
+
+def cdc_rebucket_replay(spark, sf_dir):
+    """Mid-stream online rebucket invariance: replay the FIRST HALF of the
+    wal_replay_final_state fixture at 8 buckets, ``LakeTable.rebucket`` the
+    live table to 16 (one bucketed write job; row conservation enforced
+    against parquet footer stats, an anchor independent of the read path),
+    then replay the rest and fingerprint the final state. The oracle pins
+    the SAME constant as wal_replay_final_state: changing the bucket count
+    under a half-applied stream must be invisible to the replayed result —
+    fence carried, no row lost, moved or duplicated — plus the new bucket
+    count as proof the rewrite actually committed."""
+    import pyarrow.compute as pc
+
+    from .engine import ReplayEngine
+    from .fixtures import wal_gen as wg
+
+    base, b = wg.gen_basic(n_base=100, n_txns=10, ops_per_txn=6, seed=11)
+    frames = b.to_table()
+    wd = tempfile.mkdtemp(prefix="walstream_rebkt_")
+    wg.write_frames(frames, f"{wd}/frames")
+    wg.write_base(base, f"{wd}/base.parquet")
+    eng = ReplayEngine(spark, f"{wd}/wh")
+    eng.bootstrap_table("repos", spark.read.parquet(f"{wd}/base.parquet"),
+                        ["repo", "path"], n_buckets=8)
+    lo = pc.min(frames.column("wal_start")).as_py()
+    hi = pc.max(frames.column("wal_start")).as_py()
+    eng.replay_frames(f"{wd}/frames", stop_at_lsn=(lo + hi) // 2)
+    eng.table("repos").rebucket(spark, 16, reason="driver-query")
+    eng.replay_frames(f"{wd}/frames")
+    t = eng.table("repos")
+    n_buckets = int(t.snapshot()["n_buckets"])
+    out = t.read(spark).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    digest = F.sha2(
+        F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256"),
+        256,
+    )
+    return out.agg(
+        F.sha2(
+            F.concat_ws("|", F.sort_array(F.collect_list(digest))), 256
+        ).alias("table_fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn("n_buckets", F.lit(n_buckets).cast("bigint"))
+
+
+CDC_REBUCKET_SQL = f"""
+SELECT '{WAL_REPLAY_FP}' AS table_fingerprint, CAST(160 AS BIGINT) AS n_rows,
+       CAST(16 AS BIGINT) AS n_buckets
+"""
+
 # decode-stage counts over the seeded gen_mixed_dml fixture: constants,
 # independently re-derived via the sequential oracle parser in
 # tests/test_queries_oracle.py::test_wal_decode_counts_pinned
@@ -1281,5 +1333,8 @@ QUERIES = {
     ),
     "wal_streaming_2pc_replay": (
         wal_streaming_2pc_replay, WAL_S2PC_SQL,
+    ),
+    "cdc_rebucket_replay": (
+        cdc_rebucket_replay, CDC_REBUCKET_SQL,
     ),
 }

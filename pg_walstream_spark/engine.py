@@ -828,6 +828,7 @@ class ReplayEngine:
             # reprocesses the batch and the fence keeps it idempotent.
             return None
         trec["table"] = tname
+        self._maybe_rebucket(st, batch_idx, trec)
         quar = int(obs.get["m"]["quar"])
         rec = {
             "batch_idx": batch_idx,
@@ -865,6 +866,75 @@ class ReplayEngine:
         rec.setdefault("phase_ms", {})["state_save"] = int(
             (_time.monotonic() - _t0) * 1000)
         self._maybe_expire(batch_idx)
+
+    def _maybe_rebucket(self, st: dict, batch_idx: int, trec: dict) -> None:
+        """Answer a ``kernel_reroute`` signal inline: when a merge had to
+        fall back to the declarative path because a bucket outgrew
+        WALSTREAM_KERNEL_MAX_BUCKET_BYTES, rewrite the table at a larger
+        bucket count (LakeTable.rebucket — one bucketed write job, atomic
+        commit, row conservation enforced) so subsequent batches return to
+        the kernel merge. The engine is the table's single writer, so the
+        rewrite is safe to run between micro-batches; it extends THIS
+        batch by one full-table write, which is the cost of the fallback
+        path recurring forever otherwise.
+
+        Sizing reads the POST-merge snapshot's file sizes (driver-local
+        getsize, no Spark job — the reroute's own sizes are pre-merge) and
+        doubles the count until the worst bucket fits in half the cap,
+        bounded by WALSTREAM_AUTO_REBUCKET_MAX total buckets and a 64x
+        single-step factor. A cooldown (WALSTREAM_AUTO_REBUCKET_COOLDOWN
+        batches per table, persisted in engine state) prevents rewrite
+        thrash when the cap is misconfigured or a single giant row can
+        never fit. WALSTREAM_AUTO_REBUCKET=0 disables; failures are logged
+        to the table's event log and never fail the batch (the merge
+        already committed — the fallback path remains correct)."""
+        rr = trec.get("kernel_reroute")
+        if not rr or int(os.environ.get("WALSTREAM_AUTO_REBUCKET",
+                                        "1")) <= 0:
+            return
+        cap = int(rr.get("max_bucket_bytes") or 0)
+        if cap <= 0:
+            return
+        tname = trec["table"]
+        cooldown = int(os.environ.get(
+            "WALSTREAM_AUTO_REBUCKET_COOLDOWN", "8"))
+        last = (st.get("rebucket_at") or {}).get(tname)
+        if last is not None and batch_idx - int(last) < cooldown:
+            return
+        t = self.table(tname)
+        snap = t.snapshot()
+        n = int(snap["n_buckets"])
+        worst = 0
+        for fl in snap["files"].values():
+            sz = 0
+            for f in fl:
+                try:
+                    sz += os.path.getsize(t._abs(f))
+                except OSError:
+                    pass
+            worst = max(worst, sz)
+        max_total = int(os.environ.get(
+            "WALSTREAM_AUTO_REBUCKET_MAX", "65536"))
+        factor = 1
+        while (worst / factor > cap / 2 and factor < 64
+               and n * factor * 2 <= max_total):
+            factor *= 2
+        if factor == 1:
+            # post-merge sizes already fit (the rerouted batch shrank the
+            # bucket, e.g. deletes) — nothing to answer
+            return
+        try:
+            rec = t.rebucket(self.spark, n * factor,
+                             reason=f"auto:kernel_reroute b{batch_idx}")
+        except Exception as e:  # noqa: BLE001 — optimization must not
+            # fail the batch: the merge already committed correctly
+            t.log_event({"event": "auto_rebucket_failed",
+                         "error": str(e)[:500]})
+            return
+        st.setdefault("rebucket_at", {})[tname] = batch_idx
+        trec["auto_rebucket"] = {"from": n, "to": n * factor,
+                                 "rows": rec.get("rows"),
+                                 "wall_ms": rec.get("wall_ms")}
 
     EXPIRE_EVERY = int(os.environ.get("WALSTREAM_EXPIRE_EVERY", "64"))
     EXPIRE_KEEP = int(os.environ.get("WALSTREAM_EXPIRE_KEEP", "64"))

@@ -425,8 +425,20 @@ class ReplayEngine:
                         key_columns: list[str], n_buckets: int = 16) -> LakeTable:
         return LakeTable.create(
             self.spark, os.path.join(self.tables_dir, name), base_df,
-            key_columns, n_buckets,
+            key_columns, n_buckets, properties=self._table_properties(),
         )
+
+    @staticmethod
+    def _table_properties() -> dict:
+        """Creation-time table properties. WALSTREAM_CHANGELOG=1 enables the
+        change-data-feed on every table this engine creates: each MERGE also
+        persists its compacted change records (LakeTable.read_changes is the
+        consumer surface — the lake-side analog of the reference's typed
+        event delivery to downstream consumers)."""
+        props = {}
+        if os.environ.get("WALSTREAM_CHANGELOG", "0") == "1":
+            props["changelog"] = True
+        return props
 
     # ---------------------------------------------------------------- pending
     #
@@ -1000,14 +1012,32 @@ class ReplayEngine:
         # 1. control scan — pre-extracted sidecar rows if the frame pump
         # wrote a control channel (driver-local, zero Spark jobs), else a
         # tag-pushdown filter on the batch frames
+        # Driver-memory guard: control-frame volume scales with TRANSACTION
+        # count, not data volume — a pathological batch of millions of tiny
+        # transactions would push millions of boundary rows through the
+        # driver. The limit(cap+1) bounds the collect itself (TakeOrdered,
+        # never materializing past the cap on the driver); exceeding it is
+        # a loud, actionable error, because the right fix is upstream batch
+        # sizing (max_frames_per_batch / max_bytes_per_batch), not silent
+        # truncation that would corrupt transaction assembly.
+        control_cap = int(os.environ.get(
+            "WALSTREAM_CONTROL_MAX_ROWS", str(2_000_000)))
         if control_rows is not None:
             control = control_rows
         else:
             control = [
                 r.asDict()
                 for r in frames.filter(F.col("tag").isin(list(CONTROL_TAGS)))
-                .select("seq", "wal_start", "data").sort("seq").collect()
+                .select("seq", "wal_start", "data").sort("seq")
+                .limit(control_cap + 1).collect()
             ]
+        if len(control) > control_cap:
+            raise RuntimeError(
+                f"batch carries more than WALSTREAM_CONTROL_MAX_ROWS="
+                f"{control_cap} control frames (begin/commit/relation...); "
+                "the driver-side transaction assembly would not hold them. "
+                "Lower max_frames_per_batch / max_bytes_per_batch on the "
+                "ingest, or raise the cap for a driver with more memory.")
         carry_catalog = {
             int(oid): [tuple(v) for v in versions]
             for oid, versions in st.get("catalog", {}).items()
@@ -1522,6 +1552,7 @@ class ReplayEngine:
             t = LakeTable.create(
                 self.spark, os.path.join(self.tables_dir, tname),
                 self.spark.createDataFrame([], ddl), keys,
+                properties=self._table_properties(),
             )
         snap = t.snapshot()
         key_cols = snap["key_columns"]

@@ -141,7 +141,8 @@ def partition_salts(n_parts: int) -> list[int] | None:
 
 STATS_DDL = (
     "bucket int, file string, rows_written long, n_target long, "
-    "u long, d long, nk long, del_applied long, ins_new long"
+    "u long, d long, nk long, del_applied long, ins_new long, "
+    "cl_file string"
 )
 
 _STATS_SCHEMA = pa.schema([
@@ -149,6 +150,7 @@ _STATS_SCHEMA = pa.schema([
     ("rows_written", pa.int64()), ("n_target", pa.int64()),
     ("u", pa.int64()), ("d", pa.int64()), ("nk", pa.int64()),
     ("del_applied", pa.int64()), ("ins_new", pa.int64()),
+    ("cl_file", pa.string()),
 ])
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
@@ -273,6 +275,41 @@ def compact_images_arrow(tbl: pa.Table, key_cols: list[str],
     return pa.table(out_cols), nk
 
 
+def _changelog_batch(ch_b: pa.Table, key_cols: list[str],
+                     data_cols: list[str], target_schema: pa.Schema,
+                     version: int, lsn: int) -> pa.Table:
+    """One bucket's compacted changes → change-data-feed records matching
+    the general merge's changelog contract (LakeTable.read_changes): key +
+    data columns in snapshot types, ``_op``, ``_toast`` (carry-forward
+    column names, from the kernel's ``__p_<c>`` pending flags),
+    ``_commit_version``, ``_commit_lsn``."""
+    n = ch_b.num_rows
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for k in key_cols:
+        arr = ch_b.column(k)
+        kt = target_schema.field(k).type
+        cols[k] = pc.cast(arr, kt) if arr.type != kt else arr
+    flags = np.zeros((n, len(data_cols)), dtype=bool)
+    for j, c in enumerate(data_cols):
+        arr = ch_b.column("__c_" + c)
+        ct = target_schema.field(c).type
+        cols[c] = pc.cast(arr, ct) if arr.type != ct else arr
+        flags[:, j] = _np_bool(ch_b.column("__p_" + c))
+    cols["_op"] = ch_b.column("__op").cast(pa.string())
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(flags.sum(axis=1)))).astype(np.int32))
+    if flags.any():
+        vals = pa.array(
+            np.tile(np.array(data_cols, dtype=object), n)[flags.ravel()],
+            type=pa.string())
+    else:
+        vals = pa.array([], type=pa.string())
+    cols["_toast"] = pa.ListArray.from_arrays(offsets, vals)
+    cols["_commit_version"] = pa.array(np.full(n, version, dtype=np.int64))
+    cols["_commit_lsn"] = pa.array(np.full(n, lsn, dtype=np.int64))
+    return pa.table(cols)
+
+
 def _conform_target(files: list[str], schema: pa.Schema) -> pa.Table:
     """Read a bucket's parquet files into the current snapshot schema:
     columns a file predates read as null, widened types up-cast (the lake's
@@ -372,11 +409,18 @@ def _merge_one_bucket(changes: pa.Table, target: pa.Table,
 
 def make_merge_kernel(bucket_files: dict[str, list[str]],
                       schema: list[tuple[str, str]], key_cols: list[str],
-                      out_dir: str, codec: str):
+                      out_dir: str, codec: str,
+                      changelog: tuple[str, int, int] | None = None):
     """Build the mapInArrow fn: per partition, compact the image rows, then
     merge + write each distinct bucket present. Emits one stats row per
     bucket plus one partition row (bucket = -1) carrying the null-key
-    quarantine count."""
+    quarantine count.
+
+    ``changelog``: optional ``(cl_dir, commit_version, commit_lsn)`` — each
+    bucket also writes its compacted change records there (change-data-feed;
+    zero extra jobs or shuffles, the compacted batch is already in hand) and
+    reports the file in the stats row ``cl_file``, so only winning-attempt
+    files are committed (task-retry-safe, like the data files)."""
     data_cols = [n for n, _ in schema if n not in key_cols]
     target_schema = pa.schema(
         [(n, spark_type_to_arrow(ty)) for n, ty in schema])
@@ -398,6 +442,15 @@ def make_merge_kernel(bucket_files: dict[str, list[str]],
             for b in buckets:
                 b = int(b)
                 ch_b = changes.filter(pa.array(bcol == b))
+                cl_path = None
+                if changelog is not None:
+                    cl_dir, cl_ver, cl_lsn = changelog
+                    cl_path = os.path.join(
+                        cl_dir, f"b{b}-{uuid.uuid4().hex[:8]}.parquet")
+                    pq.write_table(
+                        _changelog_batch(ch_b, key_cols, data_cols,
+                                         target_schema, cl_ver, cl_lsn),
+                        cl_path, compression=codec)
                 target = _conform_target(
                     bucket_files.get(str(b), []), target_schema)
                 out_path = os.path.join(
@@ -406,11 +459,12 @@ def make_merge_kernel(bucket_files: dict[str, list[str]],
                                        out_path, codec)
                 rows.append({"bucket": b, **{k: st[k] for k in (
                     "file", "rows_written", "n_target", "u", "d",
-                    "del_applied", "ins_new")}, "nk": 0})
+                    "del_applied", "ins_new")}, "nk": 0,
+                    "cl_file": cl_path})
         if nk:
             rows.append({"bucket": -1, "file": None, "rows_written": 0,
                          "n_target": 0, "u": 0, "d": 0, "nk": nk,
-                         "del_applied": 0, "ins_new": 0})
+                         "del_applied": 0, "ins_new": 0, "cl_file": None})
         if rows:
             yield pa.RecordBatch.from_pylist(rows, schema=_STATS_SCHEMA)
 

@@ -106,6 +106,7 @@ class LakeTable:
         self.root = root
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
+        self.changelog_dir = os.path.join(root, "changelog")
 
     # ------------------------------------------------------------------ meta
 
@@ -120,6 +121,13 @@ class LakeTable:
     def snapshot(self) -> dict:
         v = self._current_version()
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def snapshot_at(self, version: int) -> dict:
+        """Snapshot metadata of a specific version (time travel). Raises
+        FileNotFoundError for versions past the expiry horizon."""
+        p = os.path.join(self.meta_dir, f"v{int(version)}.json")
+        with open(p) as f:
             return json.load(f)
 
     def history(self) -> list[dict]:
@@ -210,6 +218,9 @@ class LakeTable:
         if not added:
             return
         snap["version"] += 1
+        # changelog_files belong to the commit that wrote them; a
+        # metadata-only commit must not re-attribute them to its version
+        snap.pop("changelog_files", None)
         alias_olds = {
             a for olds in snap.get("aliases", {}).values() for a in olds
         }
@@ -240,6 +251,9 @@ class LakeTable:
         chain = aliases.pop(old, [])
         aliases[new] = [old] + chain
         snap["version"] += 1
+        # changelog_files belong to the commit that wrote them; a
+        # metadata-only commit must not re-attribute them to its version
+        snap.pop("changelog_files", None)
         snap["schema"] = [
             [new if n == old else n, ty] for n, ty in snap["schema"]
         ]
@@ -264,6 +278,9 @@ class LakeTable:
         if not dropped:
             return
         snap["version"] += 1
+        # changelog_files belong to the commit that wrote them; a
+        # metadata-only commit must not re-attribute them to its version
+        snap.pop("changelog_files", None)
         snap["schema"] = [e for e in snap["schema"] if e[0] not in dropped]
         pre_aliases = snap.get("aliases", {})
         snap["aliases"] = {k: v for k, v in pre_aliases.items()
@@ -291,6 +308,9 @@ class LakeTable:
         if not any(e[0] == name for e in snap["schema"]):
             return
         snap["version"] += 1
+        # changelog_files belong to the commit that wrote them; a
+        # metadata-only commit must not re-attribute them to its version
+        snap.pop("changelog_files", None)
         snap["schema"] = [
             [n, new_type if n == name else ty] for n, ty in snap["schema"]
         ]
@@ -306,6 +326,9 @@ class LakeTable:
         schema-evolution notice) as its own snapshot commit."""
         snap = self.snapshot()
         snap["version"] += 1
+        # changelog_files belong to the commit that wrote them; a
+        # metadata-only commit must not re-attribute them to its version
+        snap.pop("changelog_files", None)
         snap["lineage"] = _append_lineage(snap["lineage"], event)
         self._commit(snap)
 
@@ -365,8 +388,13 @@ class LakeTable:
             return df
         return df.select(*sel_cols)
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        snap = self.snapshot()
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame:
+        """Read the table — optionally a bucket subset, optionally AS OF a
+        past snapshot ``version`` (time travel over the versioned
+        metadata; bounded by the expiry horizon, Iceberg
+        ``VERSION AS OF`` analog)."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
         files = []
         sel = snap["files"] if buckets is None else {
             str(b): snap["files"].get(str(b), []) for b in buckets
@@ -394,6 +422,64 @@ class LakeTable:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        return out
+
+    def read_changes(self, spark: SparkSession, since_version: int = 0,
+                     until_version: int | None = None) -> DataFrame:
+        """Change-data-feed read: every change record committed by versions
+        in ``(since_version, until_version]`` (Delta CDF / Iceberg
+        changelog-scan analog). Requires the table property ``changelog``.
+
+        Each row is a replica-apply record: key + data columns AS OF its
+        commit's schema, ``_op`` ('upsert'|'delete'), ``_toast`` (column
+        names whose value the consumer carries forward from its previous
+        image — the pgoutput unchanged-TOAST contract,
+        /root/reference/src/protocol.rs:310-328), ``_commit_version`` and
+        ``_commit_lsn``. Applying the feed in version order onto a copy of
+        the table at ``since_version`` via ``merge`` reproduces the table
+        at ``until_version`` exactly (pinned in tests/test_changelog.py).
+        Commits straddling a schema change union by name with missing
+        columns null. Truncates emit no row records — consumers must watch
+        the lineage ``truncated`` flag. Retention equals snapshot
+        retention: versions past the expiry horizon raise."""
+        cur = self._current_version()
+        hi = cur if until_version is None else int(until_version)
+        lo = int(since_version)
+        if not self.snapshot()["properties"].get("changelog"):
+            raise ValueError(
+                f"changelog not enabled on table {self.root}; create it "
+                "with properties={'changelog': True} (engine: "
+                "WALSTREAM_CHANGELOG=1)")
+        if hi > cur:
+            raise ValueError(
+                f"until_version {hi} is beyond CURRENT ({cur})")
+        extra_ddl = (", `_op` string, `_toast` array<string>, "
+                     "`_commit_version` bigint, `_commit_lsn` bigint")
+        groups: list[list] = []  # [ddl, [files]]
+        for v in range(lo + 1, hi + 1):
+            try:
+                snap = self.snapshot_at(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {v} is past the expiry horizon of table "
+                    f"{self.root}; lower keep_last retention or read from "
+                    "a later since_version") from None
+            fl = snap.get("changelog_files")
+            if not fl:
+                continue  # DDL / rebucket commits carry no row changes
+            ddl = self._spark_schema_ddl(snap) + extra_ddl
+            files = [self._abs(f) for f in fl]
+            if groups and groups[-1][0] == ddl:
+                groups[-1][1].extend(files)
+            else:
+                groups.append([ddl, files])
+        if not groups:
+            return spark.createDataFrame(
+                [], self._spark_schema_ddl(self.snapshot()) + extra_ddl)
+        dfs = [spark.read.schema(ddl).parquet(*fl) for ddl, fl in groups]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     # ----------------------------------------------------------------- write
@@ -525,6 +611,42 @@ class LakeTable:
             ).alias("d"),
             F.expr(f"count(CASE WHEN {null_key} THEN 1 END)").alias("nk"),
         ).filter(f"NOT {null_key}")
+
+        # Changelog (change-data-feed) emission: when the table property
+        # ``changelog`` is set, persist the compacted change set this MERGE
+        # applies — replica-apply records (key+data cols, _op, _toast column
+        # names to carry forward) + commit version/lsn — under
+        # changelog/s{N}-{hex}/ and record the file list in the snapshot.
+        # Downstream consumers read increments via ``read_changes`` instead
+        # of diffing snapshots (Delta CDF / Iceberg changelog-scan analog;
+        # the same role the reference's typed event stream plays for its
+        # consumers, /root/reference/src/stream.rs delivery loop). The MERGE
+        # then reads the change set BACK from the written files, so the
+        # decode→compact lineage still runs exactly once (the changelog
+        # write is the materialization job, not an extra recompute).
+        cl_files: list[str] | None = None
+        if snap["properties"].get("changelog"):
+            cl_dir = os.path.join(
+                self.changelog_dir,
+                f"s{snap['version'] + 1}-{uuid.uuid4().hex[:8]}")
+            sel_cl = [_qi(n) for n, _ in snap["schema"]] + [
+                "_op", "_toast",
+                f"CAST({snap['version'] + 1} AS BIGINT) AS _commit_version",
+                f"CAST({int(applied_lsn)} AS BIGINT) AS _commit_lsn",
+            ]
+            cl_df = changes.selectExpr(*sel_cl)
+            (cl_df.write.mode("overwrite")
+             .option("compression",
+                     os.environ.get("WALSTREAM_LAKE_CODEC", "zstd"))
+             .parquet(cl_dir))
+            cl_files = sorted(
+                self._rel(os.path.join(cl_dir, f))
+                for f in os.listdir(cl_dir) if f.endswith(".parquet")
+            )
+            changes = spark.read.schema(cl_df.schema).parquet(cl_dir).drop(
+                "_commit_version", "_commit_lsn"
+            ).withColumn("_bucket", self._bucket_expr(key_cols, n_buckets))
+            _mark("changelog_ms")
 
         if truncate_first:
             affected = list(range(n_buckets))
@@ -668,6 +790,10 @@ class LakeTable:
                     any_file = self._abs(next(iter(new_files.values()))[0])
                     shutil.rmtree(os.path.dirname(os.path.dirname(any_file)),
                                   ignore_errors=True)
+                if cl_files:
+                    shutil.rmtree(
+                        os.path.dirname(self._abs(cl_files[0])),
+                        ignore_errors=True)
                 raise
         snap2 = {
             "version": snap["version"] + 1,
@@ -685,6 +811,8 @@ class LakeTable:
             },
             "lineage": _append_lineage(snap["lineage"], record),
         }
+        if cl_files is not None:
+            snap2["changelog_files"] = cl_files
         self._commit(snap2)
         return record
 
@@ -806,10 +934,20 @@ class LakeTable:
             self.data_dir, f"s{snap['version'] + 1}-{uuid.uuid4().hex[:8]}")
         os.makedirs(out_dir, exist_ok=True)
         codec = os.environ.get("WALSTREAM_LAKE_CODEC", "zstd")
+        # change-data-feed: the kernel task writes its bucket's compacted
+        # change records alongside the merge (same pass, zero extra jobs);
+        # only files named in winning stats rows are committed
+        cl_spec = None
+        if snap["properties"].get("changelog"):
+            cl_dir = os.path.join(
+                self.changelog_dir,
+                f"s{snap['version'] + 1}-{uuid.uuid4().hex[:8]}")
+            os.makedirs(cl_dir, exist_ok=True)
+            cl_spec = (cl_dir, snap["version"] + 1, int(applied_lsn))
         fn = make_merge_kernel(
             {str(b): [self._abs(f) for f in fl]
              for b, fl in snap["files"].items()},
-            schema, key_cols, out_dir, codec)
+            schema, key_cols, out_dir, codec, changelog=cl_spec)
         withb = images.withColumn(
             "_bucket", self._bucket_expr(key_cols, n_buckets))
         # Routing choice is WAVE-AWARE (round-7 interleaved A/B at 1024
@@ -896,6 +1034,12 @@ class LakeTable:
                 files[str(b)] = [self._rel(r["file"])]
             else:
                 files.pop(str(b), None)
+        cl_files = None
+        if cl_spec is not None:
+            cl_files = sorted(
+                self._rel(r["cl_file"]) for r in by_bucket.values()
+                if r["cl_file"]
+            )
 
         record = {
             "batch_id": batch_id,
@@ -920,6 +1064,8 @@ class LakeTable:
                 import shutil
 
                 shutil.rmtree(out_dir, ignore_errors=True)
+                if cl_spec is not None:
+                    shutil.rmtree(cl_spec[0], ignore_errors=True)
                 raise
         # post-job listener wait: Observation.get blocks on the async
         # QueryExecutionListener bus, a fixed driver-serial cost
@@ -940,6 +1086,8 @@ class LakeTable:
             },
             "lineage": _append_lineage(snap["lineage"], record),
         }
+        if cl_files is not None:
+            snap2["changelog_files"] = cl_files
         self._commit(snap2)
         # visible in the returned record (engine metrics), not in the
         # lineage row — that was serialized inside _commit
@@ -1040,7 +1188,11 @@ class LakeTable:
         snap["version"] = new_version
         snap["n_buckets"] = n_buckets
         snap["files"] = files
-        for k in ("aliases", "column_since", "dropped_names"):
+        # changelog_files describe the PREVIOUS version's commit; a rebucket
+        # moves no logical rows, so carrying them forward would double-count
+        # that commit's changes in read_changes
+        for k in ("aliases", "column_since", "dropped_names",
+                  "changelog_files"):
             snap.pop(k, None)
         snap["lineage"] = _append_lineage(snap["lineage"], record)
         self._commit(snap)
@@ -1134,6 +1286,29 @@ class LakeTable:
                 import shutil
 
                 shutil.rmtree(d, ignore_errors=True)
+        # changelog dirs are per-commit (changelog/s{N}-{hex}/) and are
+        # referenced ONLY by version N's metadata, so retention is purely
+        # version-based: dirs below the cutoff go, kept and in-flight
+        # (> CURRENT) dirs are untouched. CDF retention == snapshot
+        # retention, like Delta's CDF under VACUUM.
+        cl_files_deleted = 0
+        for d in sorted(_glob.glob(os.path.join(self.changelog_dir, "s*-*"))):
+            m = ver_re.match(os.path.basename(d))
+            if not m or not (int(m.group(1)) < cutoff):
+                continue
+            for root, _dirs, names in os.walk(d, topdown=False):
+                for n in names:
+                    try:
+                        bytes_deleted += os.path.getsize(
+                            os.path.join(root, n))
+                        os.remove(os.path.join(root, n))
+                        cl_files_deleted += 1
+                    except OSError:
+                        pass
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
         snaps_deleted = 0
         for p in _glob.glob(os.path.join(self.meta_dir, "v*.json")):
             name = os.path.basename(p)[1:-5]
@@ -1148,5 +1323,6 @@ class LakeTable:
             "snapshots_kept": kept,
             "snapshots_deleted": snaps_deleted,
             "files_deleted": files_deleted,
+            "changelog_files_deleted": cl_files_deleted,
             "bytes_deleted": bytes_deleted,
         }

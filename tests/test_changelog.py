@@ -1,0 +1,266 @@
+"""Change-data-feed (changelog) + time travel.
+
+The lake is the engine's MERGE target; the changelog makes it a CDC
+*source* for downstream consumers (Delta CDF / Iceberg changelog-scan
+analog — and the lake-side counterpart of the reference's typed event
+delivery to consumers, /root/reference/src/stream.rs delivery loop).
+Contract under test:
+
+- every MERGE (declarative AND Arrow-kernel path) with the table property
+  ``changelog`` persists its compacted change records: key+data columns,
+  ``_op``, ``_toast`` carry-forward names, ``_commit_version``/``_commit_lsn``;
+- ``read_changes(since, until]`` returns exactly those records;
+- applying the feed in version order onto a copy of the table at the
+  starting version via ``merge`` reproduces the table EXACTLY (the
+  replica-apply differential — the strongest statement of the contract);
+- retention equals snapshot retention (expiry deletes expired commits'
+  changelog, reading past the horizon raises);
+- ``read(version=)`` time travel serves the bootstrap side of the feed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pg_walstream_spark.lake.table import LakeTable
+from pg_walstream_spark.operators.compact import compact_changes, dml_images
+
+from test_merge_kernel import (
+    DATA_COLS, KEY_COLS, _base_df, _events_df, _rand_workload, _state,
+)
+
+KT = {"k1": "string", "k2": "string"}
+PROPS = {"changelog": True}
+
+
+def _mk(spark, path, n_rows=40, n_buckets=8):
+    return LakeTable.create(spark, str(path), _base_df(spark, n_rows),
+                            KEY_COLS, n_buckets=n_buckets, properties=PROPS)
+
+
+def _norm_feed(spark, t, **kw):
+    return sorted(
+        (r["k1"], r["k2"], r["v_str"], r["v_num"], r["_op"],
+         tuple(sorted(r["_toast"] or [])),
+         r["_commit_version"], r["_commit_lsn"])
+        for r in t.read_changes(spark, **kw).collect()
+    )
+
+
+def test_declarative_merge_emits_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    rows = [
+        ("insert", 100, 1, None,
+         {"k1": "900", "k2": "a", "v_str": "x", "v_num": "1"}, None),
+        ("update", 100, 2, {"k1": "0", "k2": "b"},
+         {"k1": "0", "k2": "b", "v_str": "y", "v_num": "2"}, None),
+        ("delete", 100, 3, {"k1": "1", "k2": "a"}, None, None),
+    ]
+    changes = compact_changes(_events_df(spark, rows), KEY_COLS, DATA_COLS,
+                              key_types=KT)
+    t.merge(spark, changes, applied_lsn=100, batch_id="b1")
+    feed = t.read_changes(spark).collect()
+    assert {(r["k1"], r["k2"], r["_op"]) for r in feed} == {
+        ("900", "a", "upsert"), ("0", "b", "upsert"), ("1", "a", "delete")}
+    assert all(r["_commit_version"] == 2 and r["_commit_lsn"] == 100
+               for r in feed)
+    assert t.snapshot()["changelog_files"]
+    # version-bounded reads
+    assert t.read_changes(spark, since_version=2).count() == 0
+    assert t.read_changes(spark, since_version=0, until_version=1).count() == 0
+
+
+def test_kernel_feed_matches_declarative(spark, tmp_path):
+    rows = _rand_workload(7)
+    tg = _mk(spark, tmp_path / "g", n_rows=80)
+    tk = _mk(spark, tmp_path / "k", n_rows=80)
+    ev = _events_df(spark, rows)
+    tg.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS, key_types=KT),
+             applied_lsn=10_000, batch_id="b0")
+    rk = tk.merge_bucketed(spark, dml_images(ev, KEY_COLS, DATA_COLS,
+                                             key_types=KT),
+                           applied_lsn=10_000, batch_id="b0")
+    assert rk["merge_kernel"] is True
+    assert _norm_feed(spark, tg) == _norm_feed(spark, tk)
+    assert _state(spark, tg) == _state(spark, tk)
+
+
+def test_feed_replay_reproduces_table(spark, tmp_path):
+    """The replica-apply differential: table at v1 + feed == table at vN,
+    across alternating declarative/kernel merges."""
+    t = _mk(spark, tmp_path / "src", n_rows=60)
+    rng = random.Random(3)
+    seq = 0
+
+    def batch(lsn, n):
+        nonlocal seq
+        rows = []
+        for _ in range(n):
+            seq += 1
+            k1, k2 = str(rng.randrange(40)), rng.choice(["a", "b"])
+            op = rng.choice(["insert", "update", "update", "delete"])
+            new = {"k1": k1, "k2": k2, "v_str": f"s{rng.randrange(100)}",
+                   "v_num": str(rng.randrange(1000))}
+            rows.append((op, lsn, seq,
+                         None if op == "insert" else {"k1": k1, "k2": k2},
+                         None if op == "delete" else new, None))
+        return rows
+
+    for i, lsn in enumerate((100, 200, 300)):
+        ev = _events_df(spark, batch(lsn, 80))
+        if i % 2 == 0:
+            t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS,
+                                           key_types=KT),
+                    applied_lsn=lsn, batch_id=f"b{i}")
+        else:
+            t.merge_bucketed(spark, dml_images(ev, KEY_COLS, DATA_COLS,
+                                               key_types=KT),
+                             applied_lsn=lsn, batch_id=f"b{i}")
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"),
+                           t.read(spark, version=1), KEY_COLS, n_buckets=4)
+    for snap in t.history():
+        if not snap.get("changelog_files"):
+            continue
+        v = snap["version"]
+        ch = t.read_changes(spark, since_version=v - 1, until_version=v)
+        rep.merge(spark, ch.drop("_commit_version", "_commit_lsn"),
+                  applied_lsn=int(snap["properties"]["applied_lsn"]),
+                  batch_id=f"replay-{v}")
+    assert _state(spark, rep) == _state(spark, t)
+
+
+def test_time_travel_read(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_rows=30)
+    v1 = _state(spark, t)
+    ev = _events_df(spark, [
+        ("update", 50, 1, {"k1": "0", "k2": "b"},
+         {"k1": "0", "k2": "b", "v_str": "changed", "v_num": "7"}, None)])
+    t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=50, batch_id="b")
+    assert _state(spark, t) != v1
+    assert sorted(tuple(r) for r in
+                  t.read(spark, version=1).collect()) == v1
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_at(99)
+
+
+def test_feed_skips_metadata_commits_and_unions_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_rows=20)
+    ev1 = _events_df(spark, [
+        ("update", 50, 1, {"k1": "0", "k2": "b"},
+         {"k1": "0", "k2": "b", "v_str": "u1", "v_num": "1"}, None)])
+    t.merge(spark, compact_changes(ev1, KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=50, batch_id="b1")
+    t.add_columns([("v_new", "string")], lsn=55)  # metadata-only commit
+    ev2 = _events_df(spark, [
+        ("update", 60, 2, {"k1": "1", "k2": "a"},
+         {"k1": "1", "k2": "a", "v_str": "u2", "v_num": "2",
+          "v_new": "n2"}, None)])
+    t.merge(spark, compact_changes(
+        ev2, KEY_COLS, DATA_COLS + [("v_new", "string")], key_types=KT),
+        applied_lsn=60, batch_id="b2")
+    feed = t.read_changes(spark).collect()
+    assert {r["_commit_version"] for r in feed} == {2, 4}
+    by_v = {r["_commit_version"]: r for r in feed}
+    assert by_v[2]["v_new"] is None  # pre-schema-change commit unions null
+    assert by_v[4]["v_new"] == "n2"
+    # the DDL commit re-attributed nothing
+    assert not t.snapshot_at(3).get("changelog_files")
+
+
+def test_changelog_expiry_and_horizon(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_rows=20)
+    for i, lsn in enumerate((10, 20, 30)):
+        ev = _events_df(spark, [
+            ("update", lsn, i, {"k1": str(i), "k2": "a" if i % 2 else "b"},
+             {"k1": str(i), "k2": "a" if i % 2 else "b",
+              "v_str": f"u{i}", "v_num": str(i)}, None)])
+        t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS,
+                                       key_types=KT),
+                applied_lsn=lsn, batch_id=f"b{i}")
+    res = t.expire_snapshots(keep_last=2)
+    assert res["changelog_files_deleted"] >= 1
+    with pytest.raises(ValueError, match="expiry horizon"):
+        t.read_changes(spark, since_version=0).count()
+    cur = t.snapshot()["version"]
+    kept = t.read_changes(spark, since_version=cur - 2).collect()
+    assert {r["_commit_version"] for r in kept} == {cur - 1, cur}
+
+
+def test_read_changes_requires_property(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _base_df(spark, 10),
+                         KEY_COLS, n_buckets=4)
+    with pytest.raises(ValueError, match="changelog not enabled"):
+        t.read_changes(spark)
+    # and merges on it emit nothing
+    ev = _events_df(spark, [
+        ("delete", 5, 1, {"k1": "0", "k2": "b"}, None, None)])
+    t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=5, batch_id="b")
+    assert "changelog_files" not in t.snapshot()
+    assert not os.path.exists(t.changelog_dir)
+
+
+def test_engine_changelog_e2e_and_golden(spark, tmp_path, monkeypatch):
+    """WALSTREAM_CHANGELOG=1: the engine's replay (fast path eligible)
+    emits the feed; replaying the feed onto the bootstrap base reproduces
+    the golden final state."""
+    import pg_walstream_spark.engine as E
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.golden import golden_final_state
+
+    monkeypatch.setenv("WALSTREAM_CHANGELOG", "1")
+    base, b = wg.gen_basic(n_base=60, n_txns=10, ops_per_txn=8, seed=5)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    eng.replay_frames(fd)
+
+    t = eng.table("repos")
+    assert t.snapshot()["properties"].get("changelog") is True
+    rep = LakeTable.create(spark, os.path.join(str(tmp_path), "rep"),
+                           spark.read.parquet(bp), ["repo", "path"], 8)
+    for snap in t.history():
+        if not snap.get("changelog_files"):
+            continue
+        v = snap["version"]
+        ch = t.read_changes(spark, since_version=v - 1, until_version=v)
+        rep.merge(spark, ch.drop("_commit_version", "_commit_lsn"),
+                  applied_lsn=int(snap["properties"]["applied_lsn"]),
+                  batch_id=f"replay-{v}")
+    grows, glsn = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in rep.read(spark).collect())
+    assert got == sorted((r["repo"], r["path"], r["content"])
+                         for r in grows)
+    assert t.applied_lsn() == glsn
+
+
+def test_control_row_cap_guard(spark, tmp_path, monkeypatch):
+    """Driver-memory guard (VERDICT r6 note): a batch with more control
+    frames than WALSTREAM_CONTROL_MAX_ROWS refuses loudly instead of
+    pulling millions of boundary rows through the driver."""
+    import pg_walstream_spark.engine as E
+    from pg_walstream_spark.fixtures import wal_gen as wg
+
+    monkeypatch.setenv("WALSTREAM_CONTROL_MAX_ROWS", "3")
+    base, b = wg.gen_basic(n_base=20, n_txns=6, ops_per_txn=4, seed=2)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+    with pytest.raises(RuntimeError, match="WALSTREAM_CONTROL_MAX_ROWS"):
+        eng.replay_frames(fd)

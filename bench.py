@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_bruteforce_topk", "ann_ivf_topk", "lang_id", "text_quality",
     "token_stats", "doc_fingerprint", "multimodal_byte_features",
+    "multimodal_image_resize", "multimodal_audio_decode",
 ]
 
 

@@ -293,3 +293,165 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 256) -> DataFrame:
             f"ELSE cast(array() as array<binary>) END"
         ).alias("sampled_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (nearest-neighbor, pure numpy) — the thumbnail/normalize step
+# of a vision-training pipeline. Deterministic integer index mapping
+# (src = dst * src_len // dst_len) so the resized pixel grid is closed-form
+# reproducible in SQL over the synthetic p[i] = (id + i) % 256 images.
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array via integer gather:
+    source index = floor(dst_index * src_len / dst_len). One fancy-index
+    per axis — no Python pixel loop."""
+    h, w = img.shape[:2]
+    idx_y = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    idx_x = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[idx_y][:, idx_x]
+
+
+def image_resize_stats(media: DataFrame, out_w: int = 16,
+                       out_h: int = 12) -> DataFrame:
+    """Decode each payload (PPM/BMP via magic sniff), nearest-neighbor
+    resize to (out_w, out_h), and emit exact per-channel pixel sums of the
+    RESIZED image — integer outputs the DuckDB oracle reproduces
+    analytically from the closed-form source pixels."""
+    from .. import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = resize_nearest(decode_image(bytes(payload)),
+                                     out_w, out_h)
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM WAV (RIFF) encode/decode in pure numpy + feature extraction.
+# Real container parsing (chunk walk, fmt/data, 16-bit LE samples); the
+# synthetic samples follow s[i] = ((id*31 + i*7) % 65536) - 32768 so sums,
+# energy and zero crossings are SQL-reproducible.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit mono PCM WAV (RIFF) encoder."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV container: RIFF header check, chunk walk to 'fmt '
+    and 'data' (tolerating extra chunks), 16-bit mono LE samples. Returns
+    (int16 sample array, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"audio decode for magic {payload[:4]!r}: only PCM WAV (RIFF) "
+            "decodes natively")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit mono PCM WAV decodes natively")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return data, int(rate)
+
+
+def synth_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic audio table: per doc a short 16-bit mono PCM
+    WAV whose samples follow s[i] = ((doc_id*31 + i*7) % 65536) - 32768,
+    with doc-dependent length (400 + (id % 37)*8) and sample rate
+    (8000 + (id % 3)*4000). Closed form ⇒ decoded-sample statistics are
+    SQL-computable, oracle-checking the REAL container parse end to end."""
+    from .. import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    src = docs.select(
+        F.col(id_col).alias("media_id"),
+        (F.lit(400) + (F.col(id_col) % 37) * 8).cast("int").alias("n"),
+        (F.lit(8000) + (F.col(id_col) % 3) * 4000).cast("int").alias("rate"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, n, rate in zip(pdf["media_id"], pdf["n"], pdf["rate"]):
+                s = ((int(mid) * 31 + np.arange(int(n), dtype=np.int64) * 7)
+                     % 65536) - 32768
+                payloads.append(encode_wav(s.astype(np.int16), int(rate)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "payload": payloads,
+            })
+
+    return src.mapInPandas(fn, "media_id long, payload binary")
+
+
+def audio_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode each WAV payload and emit integer features: sample count,
+    rate, amplitude sum, energy (sum of squares) and rising zero crossings
+    (s[i-1] < 0 ≤ s[i]) — the language/VAD-ish audio-quality tier of a
+    speech-training pipeline, with bit-exact SQL oracles."""
+    from .. import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sample_rate": [],
+                   "amp_sum": [], "energy": [], "rising_crossings": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                v = s.astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(v))
+                out["sample_rate"].append(rate)
+                out["amp_sum"].append(int(v.sum()))
+                out["energy"].append(int((v * v).sum()))
+                out["rising_crossings"].append(
+                    int(((v[:-1] < 0) & (v[1:] >= 0)).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id long, n_samples int, sample_rate int, amp_sum long, "
+        "energy long, rising_crossings long",
+    )

@@ -1104,6 +1104,74 @@ FROM px GROUP BY media_id
 """
 
 
+def multimodal_image_resize(spark, sf_dir):
+    """Decode + nearest-neighbor resize to 16x12 (the thumbnail/normalize
+    step of a vision-training pipeline), per-channel pixel sums of the
+    RESIZED image. The oracle reproduces the resized grid analytically via
+    the same integer index map (src = dst * src_len // dst_len) over the
+    closed-form source pixels — the resize arithmetic itself is
+    oracle-checked, not just the decode."""
+    media = mm.synth_images(_t(spark, sf_dir, "documents"))
+    return mm.image_resize_stats(media)
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH geo AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT media_id, c.c AS c,
+         (media_id + (((y.y * h) // 12) * w + ((x.x * w) // 16)) * 3 + c.c)
+           % 256 AS v
+  FROM geo
+  CROSS JOIN range(0, 12) y(y)
+  CROSS JOIN range(0, 16) x(x)
+  CROSS JOIN range(0, 3) c(c))
+SELECT media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id
+"""
+
+
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio container path: per doc a 16-bit mono PCM WAV with
+    closed-form samples s[i] = ((id*31 + i*7) mod 65536) - 32768 is
+    encoded (RIFF chunks) and decoded back by the pure-numpy chunk-walking
+    parser; integer features (sample count, rate, amplitude sum, energy,
+    rising zero crossings) are reproduced analytically by the oracle."""
+    media = mm.synth_audio(_t(spark, sf_dir, "documents"))
+    return mm.audio_decode_stats(media)
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH geo AS (
+  SELECT doc_id AS media_id,
+         400 + (doc_id % 37) * 8 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents),
+s AS (
+  SELECT media_id, n, rate, t.i AS i,
+         ((media_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM geo CROSS JOIN range(0, 696) t(i)
+  WHERE t.i < n)
+SELECT media_id,
+       CAST(any_value(n) AS INT) AS n_samples,
+       CAST(any_value(rate) AS INT) AS sample_rate,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN i > 0
+                AND ((media_id * 31 + (i - 1) * 7) % 65536) - 32768 < 0
+                AND v >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rising_crossings
+FROM s GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC engine stages (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1170,6 +1238,74 @@ def wal_replay_final_state(spark, sf_dir):
 WAL_REPLAY_FP = \
     "c8d749270b25741e0804b42c1083b28dfbd6464622e8c2198bd1f144a5ceafc9"
 WAL_REPLAY_FINAL_STATE_SQL = f"""
+SELECT '{WAL_REPLAY_FP}' AS table_fingerprint, CAST(160 AS BIGINT) AS n_rows
+"""
+
+
+def cdc_changelog_roundtrip(spark, sf_dir):
+    """Engine replay of the wal_replay_final_state fixture with the
+    change-data-feed enabled (WALSTREAM_CHANGELOG=1), then the feed is
+    applied commit-by-commit onto a FRESH copy of the bootstrap base
+    (LakeTable.read_changes → merge) and the REPLICA is fingerprinted.
+    The oracle pins the SAME constant as wal_replay_final_state: the feed
+    must reproduce the exact table the engine materialized, which the
+    golden applier independently derives — so a feed that loses a record,
+    mis-orders commits, or breaks the TOAST carry-forward contract flips
+    the hash. (Reference analog: the consumer-side apply loop,
+    /root/reference/src/stream.rs delivery contract.)"""
+    import os
+
+    from .engine import ReplayEngine
+    from .fixtures import wal_gen as wg
+    from .lake.table import LakeTable
+
+    base, b = wg.gen_basic(n_base=100, n_txns=10, ops_per_txn=6, seed=11)
+    wd = tempfile.mkdtemp(prefix="walstream_cdf_")
+    wg.write_frames(b.to_table(), f"{wd}/frames")
+    wg.write_base(base, f"{wd}/base.parquet")
+    prev = os.environ.get("WALSTREAM_CHANGELOG")
+    os.environ["WALSTREAM_CHANGELOG"] = "1"
+    try:
+        eng = ReplayEngine(spark, f"{wd}/wh")
+        eng.bootstrap_table(
+            "repos", spark.read.parquet(f"{wd}/base.parquet"),
+            ["repo", "path"], n_buckets=8)
+        eng.replay_frames(f"{wd}/frames")
+    finally:
+        if prev is None:
+            os.environ.pop("WALSTREAM_CHANGELOG", None)
+        else:
+            os.environ["WALSTREAM_CHANGELOG"] = prev
+    t = eng.table("repos")
+    replica = LakeTable.create(
+        spark, f"{wd}/replica", spark.read.parquet(f"{wd}/base.parquet"),
+        ["repo", "path"], n_buckets=4)
+    for snap in t.history():
+        if not snap.get("changelog_files"):
+            continue
+        v = snap["version"]
+        ch = t.read_changes(spark, since_version=v - 1, until_version=v)
+        replica.merge(
+            spark, ch.drop("_commit_version", "_commit_lsn"),
+            applied_lsn=int(snap["properties"]["applied_lsn"]),
+            batch_id=f"cdf-{v}")
+    out = replica.read(spark).select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    digest = F.sha2(
+        F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256"),
+        256,
+    )
+    return out.agg(
+        F.sha2(
+            F.concat_ws("|", F.sort_array(F.collect_list(digest))), 256
+        ).alias("table_fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+CDC_CHANGELOG_SQL = f"""
 SELECT '{WAL_REPLAY_FP}' AS table_fingerprint, CAST(160 AS BIGINT) AS n_rows
 """
 
@@ -1326,6 +1462,15 @@ QUERIES = {
     ),
     "multimodal_frame_sample": (
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL,
+    ),
+    "multimodal_image_resize": (
+        multimodal_image_resize, MULTIMODAL_RESIZE_SQL,
+    ),
+    "multimodal_audio_decode": (
+        multimodal_audio_decode, MULTIMODAL_AUDIO_SQL,
+    ),
+    "cdc_changelog_roundtrip": (
+        cdc_changelog_roundtrip, CDC_CHANGELOG_SQL,
     ),
     "wal_decode_counts": (wal_decode_counts, WAL_DECODE_COUNTS_SQL),
     "wal_replay_final_state": (

@@ -321,3 +321,79 @@ def test_image_decode_stats_matches_formula(spark):
         px = (mid + np.arange(w * h * 3)) % 256
         for ci, c in enumerate(("sum_r", "sum_g", "sum_b")):
             assert r[c] == int(px[ci::3].sum()), (mid, c)
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Pure-numpy PCM WAV codec: sample-exact roundtrip, chunk-walk
+    tolerance (extra LIST chunk before data, odd-size word alignment),
+    and loud errors on unsupported containers/encodings."""
+    import struct
+
+    import numpy as np
+
+    from pg_walstream_spark.analytics.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 17, 400):
+        s = rng.randint(-32768, 32768, n).astype(np.int16)
+        got, rate = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and np.array_equal(got, s)
+    # chunk walk: an odd-size foreign chunk (word-aligned) before data
+    s = np.arange(-3, 4, dtype=np.int16)
+    pay = encode_wav(s, 8000)
+    fmt_and_data = pay[12:]
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # 3 + pad byte
+    hacked = pay[:12] + foreign + fmt_and_data
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    got, rate = decode_wav(hacked)
+    assert rate == 8000 and np.array_equal(got, s)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS....notawav.........")
+    # stereo / non-PCM refused loudly, not mis-decoded
+    stereo = bytearray(encode_wav(s, 8000))
+    stereo[22] = 2  # channels field
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_decode_stats_matches_formula(spark):
+    """The registry's audio operator recovers closed-form sample features
+    through REAL WAV encode→decode."""
+    import numpy as np
+
+    from pg_walstream_spark.analytics import multimodal as mm
+
+    docs = spark.range(30).selectExpr("id AS doc_id")
+    out = mm.audio_decode_stats(mm.synth_audio(docs)).collect()
+    assert len(out) == 30
+    for r in sorted(out, key=lambda r: r["media_id"]):
+        mid = r["media_id"]
+        n = 400 + (mid % 37) * 8
+        v = ((mid * 31 + np.arange(n, dtype=np.int64) * 7) % 65536) - 32768
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == 8000 + (mid % 3) * 4000
+        assert r["amp_sum"] == int(v.sum())
+        assert r["energy"] == int((v * v).sum())
+        assert r["rising_crossings"] == int(
+            ((v[:-1] < 0) & (v[1:] >= 0)).sum())
+
+
+def test_resize_nearest_semantics():
+    """Nearest-neighbor resize: identity at same size, exact block
+    replication on integer upscales, and the floor index map on
+    non-integer ratios (the map the SQL oracle mirrors)."""
+    import numpy as np
+
+    from pg_walstream_spark.analytics.multimodal import resize_nearest
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 9, 3), np.uint8)
+    assert np.array_equal(resize_nearest(img, 9, 6), img)
+    up = resize_nearest(img, 18, 12)  # 2x: each pixel becomes a 2x2 block
+    assert np.array_equal(up, img.repeat(2, axis=0).repeat(2, axis=1))
+    out = resize_nearest(img, 16, 12)
+    for y2 in range(12):
+        for x2 in range(16):
+            assert np.array_equal(out[y2, x2], img[y2 * 6 // 12, x2 * 9 // 16])

@@ -1172,6 +1172,51 @@ FROM s GROUP BY media_id
 """
 
 
+def cdc_scd2_history(spark, sf_dir):
+    """SCD2 historization of the events stream: per user, one validity
+    interval per event_type CHANGE (consecutive equal types collapse),
+    closed by the next change's timestamp — the point-in-time-join shape a
+    training pipeline derives from a CDC feed. One shuffle (the key), two
+    window passes over it."""
+    from .operators.scd2 import scd2_history
+
+    _utc(spark)  # ts is NTZ; the cast below must interpret it as UTC,
+    # matching DuckDB's epoch_us over the same naive timestamps
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = scd2_history(
+        ev, key_cols=["user_id"], order_cols=["ts_us", "event_id"],
+        attr_cols=["event_type"], valid_col="ts_us",
+        carry_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", F.col("event_id").alias("change_event_id"), "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"), "is_current",
+    )
+
+
+CDC_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events),
+changes AS (
+  SELECT user_id, event_id, event_type, ts_us FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_id AS change_event_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       (lead(ts_us) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC engine stages (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1472,6 +1517,7 @@ QUERIES = {
     "cdc_changelog_roundtrip": (
         cdc_changelog_roundtrip, CDC_CHANGELOG_SQL,
     ),
+    "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "wal_decode_counts": (wal_decode_counts, WAL_DECODE_COUNTS_SQL),
     "wal_replay_final_state": (
         wal_replay_final_state, WAL_REPLAY_FINAL_STATE_SQL,

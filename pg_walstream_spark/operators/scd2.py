@@ -26,6 +26,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def scd2_from_feed(
+    feed: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    lsn_col: str = "_commit_lsn",
+) -> DataFrame:
+    """SCD2 intervals straight from a change-data-feed
+    (``LakeTable.read_changes`` rows: key + data cols, ``_op``,
+    ``_commit_lsn``), with delete semantics: a delete CLOSES the key's open
+    interval (its lsn becomes that interval's ``valid_to``) and opens
+    nothing; a re-insert after a delete opens a new interval even when the
+    attributes are identical. Consecutive upserts with equal tracked
+    attributes collapse, exactly like ``scd2_history``.
+
+    Caveat: rows carrying ``_toast`` names among ``attr_cols`` hold null
+    where the consumer is meant to carry the previous image forward —
+    resolve the carry (or exclude those columns) before historizing, or
+    equal-through-toast values will read as changes."""
+    w = Window.partitionBy(*key_cols).orderBy(lsn_col)
+    cmp_ = F.struct(F.col("_op"), *[F.col(c) for c in attr_cols])
+    prev_cmp = F.lag(cmp_).over(w)
+    prev_op = F.lag("_op").over(w)
+    changes = feed.withColumn("_chg", (
+        prev_cmp.isNull() | (prev_cmp != cmp_) | (prev_op == "delete")
+    )).filter("_chg").drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(lsn_col)
+    vt = F.lead(lsn_col).over(w2)
+    return changes.select(
+        *key_cols, *attr_cols, "_op",
+        F.col(lsn_col).alias("valid_from"),
+        vt.alias("valid_to"),
+        vt.isNull().alias("is_current"),
+    ).filter(F.col("_op") != "delete").drop("_op")
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: list[str],

@@ -65,3 +65,66 @@ def test_scd2_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort") == 1, plan
+
+
+def test_scd2_from_feed_with_deletes(spark):
+    """Feed → SCD2: deletes close intervals, re-inserts (even identical)
+    reopen, equal consecutive upserts collapse."""
+    from pg_walstream_spark.operators.scd2 import scd2_from_feed
+
+    feed = spark.createDataFrame(
+        [
+            ("a", "x", "upsert", 1), ("a", "x", "upsert", 2),  # collapse
+            ("a", "x", "delete", 3),                           # close at 3
+            ("a", "x", "upsert", 4),                           # reopen
+            ("b", "y", "upsert", 1), ("b", "z", "upsert", 5),
+        ],
+        "k string, attr string, _op string, _commit_lsn bigint",
+    )
+    out = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_feed(feed, ["k"], ["attr"]).collect())
+    assert out == [
+        ("a", "x", 1, 3, False),   # closed BY the delete's lsn
+        ("a", "x", 4, None, True),
+        ("b", "y", 1, 5, False),
+        ("b", "z", 5, None, True),
+    ]
+
+
+def test_scd2_from_engine_changelog(spark, tmp_path, monkeypatch):
+    """End to end: engine replay with the feed on → scd2_from_feed over
+    read_changes; every key's current interval matches the table's final
+    image, and keys absent from the table have NO open interval."""
+    import os
+
+    import pg_walstream_spark.engine as E
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.operators.scd2 import scd2_from_feed
+
+    monkeypatch.setenv("WALSTREAM_CHANGELOG", "1")
+    base, b = wg.gen_basic(n_base=40, n_txns=8, ops_per_txn=6, seed=13)
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(b.to_table(), fd)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 4)
+    eng.replay_frames(fd)
+
+    t = eng.table("repos")
+    hist = scd2_from_feed(t.read_changes(spark), ["repo", "path"],
+                          ["commit", "content"]).collect()
+    current = {(r["repo"], r["path"]): (r["commit"], r["content"])
+               for r in hist if r["is_current"]}
+    final = {(r["repo"], r["path"]): (r["commit"], r["content"])
+             for r in t.read(spark).collect()}
+    # every feed-touched key's open interval equals the final image;
+    # keys deleted by the feed's last op have no open interval
+    touched = {(r["repo"], r["path"])
+               for r in t.read_changes(spark).collect()}
+    for k in touched:
+        if k in final:
+            assert current.get(k) == final[k], k
+        else:
+            assert k not in current, k

@@ -115,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
 
+    p = sub.add_parser(
+        "changes", help="export the change-data-feed of a table "
+                        "(read_changes over (since, until]) to parquet, "
+                        "or print a summary; requires the table to have "
+                        "been created with WALSTREAM_CHANGELOG=1")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--since", type=int, default=0,
+                   help="exclusive start version (default 0 = horizon)")
+    p.add_argument("--until", type=int, default=None,
+                   help="inclusive end version (default CURRENT)")
+    p.add_argument("--out", default=None,
+                   help="parquet output dir; omit to print a per-commit "
+                        "summary instead")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "record":
@@ -158,6 +173,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"no such table: {args.table}"}))
             return 1
         print(json.dumps(t.rebucket(spark, args.buckets, reason="cli")))
+        return 0
+
+    if args.cmd == "changes":
+        spark = _session("walstream-changes", args.master)
+        from pyspark.sql import functions as F
+
+        from .lake.table import LakeTable
+
+        t = LakeTable(os.path.join(args.warehouse, "tables", args.table))
+        if not t.exists:
+            print(json.dumps({"error": f"no such table: {args.table}"}))
+            return 1
+        df = t.read_changes(spark, since_version=args.since,
+                            until_version=args.until)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"table": args.table, "out": args.out,
+                              "rows": spark.read.parquet(args.out).count()}))
+        else:
+            for r in (df.groupBy("_commit_version", "_commit_lsn")
+                      .agg(F.count(F.lit(1)).alias("rows"),
+                           F.sum(F.expr(
+                               "CASE WHEN _op = 'delete' THEN 1 ELSE 0 END"
+                           )).alias("deletes"))
+                      .orderBy("_commit_version").collect()):
+                print(json.dumps(r.asDict()))
         return 0
 
     if args.cmd == "bootstrap":

@@ -264,3 +264,37 @@ def test_control_row_cap_guard(spark, tmp_path, monkeypatch):
     eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
     with pytest.raises(RuntimeError, match="WALSTREAM_CONTROL_MAX_ROWS"):
         eng.replay_frames(fd)
+
+
+def test_changes_cli_verb(spark, tmp_path, capsys):
+    """`changes` CLI: per-commit summary and parquet export of the feed."""
+    import json
+
+    from pg_walstream_spark.cli import main as cli_main
+
+    root = tmp_path / "wh" / "tables" / "t1"
+    os.makedirs(root.parent, exist_ok=True)
+    t = _mk(spark, root, n_rows=20)
+    for i, lsn in enumerate((10, 20)):
+        ev = _events_df(spark, [
+            ("update", lsn, i, {"k1": str(i), "k2": "a" if i % 2 else "b"},
+             {"k1": str(i), "k2": "a" if i % 2 else "b",
+              "v_str": f"u{i}", "v_num": str(i)}, None)])
+        t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS,
+                                       key_types=KT),
+                applied_lsn=lsn, batch_id=f"b{i}")
+    rc = cli_main(["changes", "--warehouse", str(tmp_path / "wh"),
+                   "--table", "t1"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [(r["_commit_version"], r["rows"]) for r in lines] == [
+        (2, 1), (3, 1)]
+    out_dir = str(tmp_path / "feed_out")
+    rc = cli_main(["changes", "--warehouse", str(tmp_path / "wh"),
+                   "--table", "t1", "--since", "2", "--out", out_dir])
+    assert rc == 0
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1 and got[0]["_commit_version"] == 3
+    assert cli_main(["changes", "--warehouse", str(tmp_path / "wh"),
+                     "--table", "nope"]) == 1

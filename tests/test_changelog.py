@@ -24,6 +24,7 @@ import os
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from pg_walstream_spark.lake.table import LakeTable
 from pg_walstream_spark.operators.compact import compact_changes, dml_images
@@ -343,3 +344,92 @@ def test_engine_changelog_fastpath_join_variant(spark, tmp_path,
                  for r in rep.read(spark).collect())
     assert got == sorted((r["repo"], r["path"], r["content"])
                          for r in grows)
+
+
+def test_resolve_toast_unit_semantics(spark):
+    """Carry picks the last AUTHORITATIVE image; explicit nulls are
+    preserved (not skipped over); deletes never contribute; base seeds
+    keys whose first feed row is already toast-marked."""
+    from pg_walstream_spark.operators.feed import resolve_toast
+
+    feed = spark.createDataFrame(
+        [
+            # k=a: base has v="b0"; first feed row toast -> carries b0;
+            # then explicit null; then toast -> carries the NULL, not b0
+            ("a", None, "upsert", ["v"], 10),
+            ("a", None, "upsert", [], 20),      # authoritative null
+            ("a", None, "upsert", ["v"], 30),   # carries the null
+            # k=b: delete between images must not contribute
+            ("b", "x1", "upsert", [], 10),
+            ("b", None, "delete", [], 20),
+            ("b", None, "upsert", ["v"], 30),   # carries x1 (not delete's null)
+        ],
+        "k string, v string, _op string, _toast array<string>, "
+        "_commit_lsn bigint",
+    )
+    base = spark.createDataFrame([("a", "b0")], "k string, v string")
+    got = {
+        (r["k"], r["_commit_lsn"]): (r["v"], list(r["_toast"]))
+        for r in resolve_toast(feed, ["k"], ["v"], base=base).collect()
+    }
+    assert got[("a", 10)] == ("b0", [])
+    assert got[("a", 20)] == (None, [])
+    assert got[("a", 30)] == (None, [])
+    assert got[("b", 30)] == ("x1", [])
+    assert got[("b", 20)][1] == []  # delete passes through, toast emptied
+
+
+def test_resolve_toast_feed_applies_golden(spark, tmp_path, monkeypatch):
+    """gen_toast replay (unchanged-TOAST 'u' markers) with the feed on:
+    resolving the feed against the version-1 base yields complete images —
+    applying the RESOLVED feed (no _toast left) to a fresh copy reproduces
+    the golden state, and SCD2 over it ends at the final table image."""
+    import pg_walstream_spark.engine as E
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.golden import golden_final_state
+    from pg_walstream_spark.operators.feed import resolve_toast
+    from pg_walstream_spark.operators.scd2 import scd2_from_feed
+
+    monkeypatch.setenv("WALSTREAM_CHANGELOG", "1")
+    base, b = wg.gen_toast(n_base=40, n_txns=6, seed=17)
+    frames = b.to_table()
+    fd = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, fd, rows_per_file=500_000)
+    bp = os.path.join(str(tmp_path), "base.parquet")
+    wg.write_base(base, bp)
+    eng = E.ReplayEngine(spark, os.path.join(str(tmp_path), "wh"))
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 4)
+    eng.replay_frames(fd)
+    t = eng.table("repos")
+
+    raw = t.read_changes(spark)
+    assert raw.filter(F.size("_toast") > 0).count() > 0  # fixture bites
+    resolved = resolve_toast(raw, ["repo", "path"],
+                             ["commit", "lang", "content"],
+                             base=t.read(spark, version=1))
+    assert resolved.filter(F.size("_toast") > 0).count() == 0
+    assert resolved.filter(
+        (F.col("_op") == "upsert") & F.col("content").isNull()).count() == 0
+
+    rep = LakeTable.create(spark, os.path.join(str(tmp_path), "rep"),
+                           spark.read.parquet(bp), ["repo", "path"], 4)
+    for v in sorted({r["_commit_version"]
+                     for r in resolved.select("_commit_version").collect()}):
+        ch = resolved.filter(F.col("_commit_version") == v)
+        lsn = int(t.snapshot_at(int(v))["properties"]["applied_lsn"])
+        rep.merge(spark, ch.drop("_commit_version", "_commit_lsn"),
+                  applied_lsn=lsn, batch_id=f"r{v}")
+    grows, _ = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["commit"], r["content"])
+                 for r in rep.read(spark).collect())
+    assert got == sorted((r["repo"], r["path"], r["commit"], r["content"])
+                         for r in grows)
+
+    current = {(r["repo"], r["path"]): (r["commit"], r["content"])
+               for r in scd2_from_feed(
+                   resolved, ["repo", "path"], ["commit", "content"]
+               ).collect() if r["is_current"]}
+    final = {(r["repo"], r["path"]): (r["commit"], r["content"])
+             for r in t.read(spark).collect()}
+    for k, v in current.items():
+        assert final[k] == v

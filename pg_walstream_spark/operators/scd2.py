@@ -41,8 +41,8 @@ def scd2_from_feed(
     attributes collapse, exactly like ``scd2_history``.
 
     Caveat: rows carrying ``_toast`` names among ``attr_cols`` hold null
-    where the consumer is meant to carry the previous image forward —
-    resolve the carry (or exclude those columns) before historizing, or
+    where the consumer is meant to carry the previous image forward — run
+    ``operators.feed.resolve_toast`` first (or exclude those columns), or
     equal-through-toast values will read as changes."""
     w = Window.partitionBy(*key_cols).orderBy(lsn_col)
     cmp_ = F.struct(F.col("_op"), *[F.col(c) for c in attr_cols])

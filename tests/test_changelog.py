@@ -433,3 +433,53 @@ def test_resolve_toast_feed_applies_golden(spark, tmp_path, monkeypatch):
              for r in t.read(spark).collect()}
     for k, v in current.items():
         assert final[k] == v
+
+
+def test_streaming_chunked_feed_replay_matches_golden(spark, tmp_path,
+                                                      monkeypatch):
+    """Structured-Streaming path with the feed on and a 1-file bytes cap
+    (every trigger chunked; chunk boundaries cut transactions — pending
+    carry): the accumulated changelog across ALL chunked commits must
+    replay onto the bootstrap base to the exact golden state."""
+    from pg_walstream_spark.engine import ReplayEngine
+    from pg_walstream_spark.fixtures import wal_gen as wg
+    from pg_walstream_spark.golden import golden_final_state
+    from pg_walstream_spark.streaming import start_stream
+
+    monkeypatch.setenv("WALSTREAM_CHANGELOG", "1")
+    base, b = wg.gen_mixed_dml(n_base=40, n_txns=6, ops_per_txn=5)
+    frames = b.to_table()
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    wg.write_frames(frames, frames_dir, rows_per_file=20)
+    wh = os.path.join(str(tmp_path), "wh")
+    eng = ReplayEngine(spark, wh)
+    bp = os.path.join(str(tmp_path), "repos.parquet")
+    wg.write_base(base, bp)
+    eng.bootstrap_table("repos", spark.read.parquet(bp), ["repo", "path"], 8)
+
+    q = start_stream(
+        spark, frames_dir, wh,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=4,
+        max_bytes_per_batch=1,  # below any file size: one file per chunk
+    )
+    q.awaitTermination(300)
+
+    t = eng.table("repos")
+    # many chunked commits, each with its own feed slice
+    feed_versions = [s["version"] for s in t.history()
+                     if s.get("changelog_files")]
+    assert len(feed_versions) > 1
+    rep = LakeTable.create(spark, os.path.join(str(tmp_path), "rep"),
+                           spark.read.parquet(bp), ["repo", "path"], 4)
+    for v in feed_versions:
+        ch = t.read_changes(spark, since_version=v - 1, until_version=v)
+        rep.merge(spark, ch.drop("_commit_version", "_commit_lsn"),
+                  applied_lsn=int(
+                      t.snapshot_at(v)["properties"]["applied_lsn"]),
+                  batch_id=f"r{v}")
+    grows, _ = golden_final_state({"repos": base}, frames, "repos")
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in rep.read(spark).collect())
+    assert got == sorted((r["repo"], r["path"], r["content"])
+                         for r in grows)

@@ -1172,6 +1172,46 @@ FROM s GROUP BY media_id
 """
 
 
+def cdc_asof_join(spark, sf_dir):
+    """Backward as-of join (point-in-time feature join): every event gains
+    the user's latest 'marker' event (a sampled sub-stream) at or before
+    its timestamp. Spark has no native ASOF JOIN; the operator uses the
+    union + running-window formulation — one key shuffle, no range-join
+    blowup — and the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    semantics (inclusive ties, left-join nulls) are pinned against an
+    independent implementation."""
+    from .operators.asof import asof_join
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    markers = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("marker_event_id"))
+    )
+    out = asof_join(ev, markers, on=["user_id"],
+                    left_ord="ts_us", right_ord="ts_us")
+    return out.select(
+        "user_id", "event_id", "ts_us",
+        F.col("asof_ord").alias("marker_ts_us"), "marker_event_id",
+    )
+
+
+CDC_ASOF_SQL = """
+WITH markers AS (
+  SELECT user_id, ts, max(event_id) AS marker_event_id
+  FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(m.ts) AS marker_ts_us,
+       m.marker_event_id AS marker_event_id
+FROM events l ASOF LEFT JOIN markers m
+  ON l.user_id = m.user_id AND l.ts >= m.ts
+"""
+
+
 def cdc_scd2_history(spark, sf_dir):
     """SCD2 historization of the events stream: per user, one validity
     interval per event_type CHANGE (consecutive equal types collapse),
@@ -1518,6 +1558,7 @@ QUERIES = {
         cdc_changelog_roundtrip, CDC_CHANGELOG_SQL,
     ),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
+    "cdc_asof_join": (cdc_asof_join, CDC_ASOF_SQL),
     "wal_decode_counts": (wal_decode_counts, WAL_DECODE_COUNTS_SQL),
     "wal_replay_final_state": (
         wal_replay_final_state, WAL_REPLAY_FINAL_STATE_SQL,

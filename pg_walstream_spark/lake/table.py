@@ -482,6 +482,50 @@ class LakeTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def diff_versions(self, spark: SparkSession, from_version: int,
+                      to_version: int | None = None) -> DataFrame:
+        """Feed-shaped diff between two snapshots, computed from the DATA
+        (no ``changelog`` property needed): rows present only at
+        ``from_version`` emit ``_op='delete'`` (their last image), rows new
+        or changed at ``to_version`` emit ``_op='upsert'`` (the new image);
+        ``_toast`` is always empty (images are complete). Applying the diff
+        onto a copy of the table at ``from_version`` via ``merge``
+        reproduces ``to_version`` exactly (pinned in tests).
+
+        This is the BACKFILL tool: one full-outer join shuffling both
+        snapshots — cost scales with table size, unlike ``read_changes``
+        which scales with change volume. Use the changelog when it exists;
+        use this to bootstrap a consumer onto a table that predates it."""
+        snap_b = (self.snapshot() if to_version is None
+                  else self.snapshot_at(to_version))
+        keys = snap_b["key_columns"]
+        cols_b = [n for n, _ in snap_b["schema"]]
+        types_b = dict(snap_b["schema"])
+        a_df = self.read(spark, version=from_version)
+        for c in cols_b:
+            if c not in a_df.columns:
+                a_df = a_df.withColumn(c, F.lit(None).cast(types_b[c]))
+        a = a_df.select(*cols_b).alias("a")
+        b = self.read(spark, version=snap_b["version"]).select(
+            *cols_b).alias("b")
+        cond = F.expr(" AND ".join(
+            f"a.{_qi(k)} = b.{_qi(k)}" for k in keys))
+        j = a.withColumn("_in_a", F.lit(True)).join(
+            b.withColumn("_in_b", F.lit(True)), cond, "full_outer")
+        a_img = F.struct(*[F.col(f"a.{c}") for c in cols_b])
+        b_img = F.struct(*[F.col(f"b.{c}") for c in cols_b])
+        in_a, in_b = F.col("_in_a").isNotNull(), F.col("_in_b").isNotNull()
+        out = j.filter(
+            (in_a & ~in_b) | (in_b & (~in_a | ~a_img.eqNullSafe(b_img)))
+        ).select(
+            *[F.when(in_b, F.col(f"b.{c}")).otherwise(
+                F.col(f"a.{c}")).alias(c) for c in cols_b],
+            F.when(in_b, F.lit("upsert")).otherwise(
+                F.lit("delete")).alias("_op"),
+            F.array().cast("array<string>").alias("_toast"),
+        )
+        return out
+
     # ----------------------------------------------------------------- write
 
     def _bucket_expr(self, key_columns: list[str], n_buckets: int):

@@ -483,3 +483,48 @@ def test_streaming_chunked_feed_replay_matches_golden(spark, tmp_path,
                  for r in rep.read(spark).collect())
     assert got == sorted((r["repo"], r["path"], r["content"])
                          for r in grows)
+
+
+def test_diff_versions_apply_reproduces_target(spark, tmp_path):
+    """diff_versions (data-computed, no changelog needed): applying the
+    diff onto a copy at from_version reproduces to_version — inserts,
+    updates, deletes, AND a schema change between the versions."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _base_df(spark, 50),
+                         KEY_COLS, n_buckets=8)  # changelog NOT enabled
+    rng = random.Random(5)
+    seq = 0
+
+    def batch(lsn, n):
+        nonlocal seq
+        rows = []
+        for _ in range(n):
+            seq += 1
+            k1, k2 = str(rng.randrange(30)), rng.choice(["a", "b"])
+            op = rng.choice(["insert", "update", "delete"])
+            new = {"k1": k1, "k2": k2, "v_str": f"s{rng.randrange(50)}",
+                   "v_num": str(rng.randrange(100))}
+            rows.append((op, lsn, seq,
+                         None if op == "insert" else {"k1": k1, "k2": k2},
+                         None if op == "delete" else new, None))
+        return rows
+
+    t.merge(spark, compact_changes(_events_df(spark, batch(100, 60)),
+                                   KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=100, batch_id="b0")
+    t.add_columns([("v_extra", "string")], lsn=150)
+    t.merge(spark, compact_changes(
+        _events_df(spark, batch(200, 60)), KEY_COLS,
+        DATA_COLS + [("v_extra", "string")], key_types=KT),
+        applied_lsn=200, batch_id="b1")
+
+    diff = t.diff_versions(spark, from_version=1)
+    ops = {r["_op"] for r in diff.collect()}
+    assert "upsert" in ops and "delete" in ops  # workload produced both
+    rep = LakeTable.create(spark, str(tmp_path / "rep"),
+                           t.read(spark, version=1), KEY_COLS, n_buckets=4)
+    rep.add_columns([("v_extra", "string")])
+    rep.merge(spark, diff, applied_lsn=999, batch_id="apply-diff")
+    assert _state(spark, rep) == _state(spark, t)
+    # identical snapshots diff to nothing
+    cur = t.snapshot()["version"]
+    assert t.diff_versions(spark, cur, cur).count() == 0

@@ -45,3 +45,36 @@ def test_asof_distinct_ord_names_and_plan(spark):
     assert "Join" not in plan, plan
     r = out.collect()[0]
     assert (r["asof_ord"], r["f"]) == (7, 1.5)
+
+
+def test_asof_randomized_matches_bruteforce(spark):
+    """Property: for random workloads, asof_join == the brute-force
+    per-row 'latest right with ord <= left ord' reference."""
+    import random
+
+    rng = random.Random(31)
+    for trial in range(3):
+        lrows = [(str(rng.randrange(6)), rng.randrange(50), i)
+                 for i in range(80)]
+        rrows_raw = [(str(rng.randrange(6)), rng.randrange(50),
+                      f"v{i}") for i in range(40)]
+        # dedupe right per (k, t): operator ties among right rows are
+        # caller's responsibility (documented) — keep the max v
+        best = {}
+        for k, t, v in rrows_raw:
+            if (k, t) not in best or v > best[(k, t)]:
+                best[(k, t)] = v
+        rrows = [(k, t, v) for (k, t), v in best.items()]
+        left = spark.createDataFrame(lrows, "k string, t bigint, lid bigint")
+        right = spark.createDataFrame(rrows, "k string, t bigint, v string")
+        got = {r["lid"]: (r["asof_ord"], r["v_right"] if "v_right" in r
+                          else r["v"])
+               for r in asof_join(left, right, on=["k"],
+                                  left_ord="t").collect()}
+
+        def ref(k, t):
+            cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            return max(cands) if cands else (None, None)
+
+        for k, t, lid in lrows:
+            assert got[lid] == ref(k, t), (trial, k, t, got[lid], ref(k, t))

@@ -128,3 +128,32 @@ def test_scd2_from_engine_changelog(spark, tmp_path, monkeypatch):
             assert current.get(k) == final[k], k
         else:
             assert k not in current, k
+
+
+def test_scd2_randomized_asof_reconstruction(spark):
+    """Property: for random change streams, the interval containing any
+    probe time t yields exactly the naive 'state as of t' — SCD2 and
+    point-in-time reconstruction agree everywhere."""
+    import random
+
+    rng = random.Random(47)
+    rows = []
+    for i in range(200):
+        rows.append((str(rng.randrange(8)), i + 1,
+                     rng.choice(["x", "y", "z"]), f"e{i}"))
+    out = scd2_history(_df(spark, rows), ["k"], ["ord"], ["attr"],
+                       valid_col="ord").collect()
+    ivs = {}
+    for r in out:
+        ivs.setdefault(r["k"], []).append(
+            (r["valid_from"], r["valid_to"], r["attr"]))
+    for probe in [1, 7, 50, 125, 200, 201]:
+        for k in {r[0] for r in rows}:
+            naive = None
+            for kk, o, a, _ in rows:
+                if kk == k and o <= probe:
+                    naive = a  # rows are ord-ascending
+            hits = [a for lo, hi, a in ivs.get(k, [])
+                    if lo <= probe and (hi is None or probe < hi)]
+            assert len(hits) <= 1
+            assert (hits[0] if hits else None) == naive, (k, probe)

@@ -439,9 +439,13 @@ class LakeTable:
         the table at ``since_version`` via ``merge`` reproduces the table
         at ``until_version`` exactly (pinned in tests/test_changelog.py).
         Commits straddling a schema change union by name with missing
-        columns null. Truncates emit no row records — consumers must watch
-        the lineage ``truncated`` flag. Retention equals snapshot
-        retention: versions past the expiry horizon raise."""
+        columns null; replicas must mirror DDL commits (rename/add/drop —
+        recorded in the lineage) at the matching version boundary, exactly
+        as a logical-replication subscriber would (recipe pinned by
+        tests/test_changelog.py::test_feed_replay_across_rename). Truncates
+        emit no row records — consumers must watch the lineage
+        ``truncated`` flag. Retention equals snapshot retention: versions
+        past the expiry horizon raise."""
         cur = self._current_version()
         hi = cur if until_version is None else int(until_version)
         lo = int(since_version)

@@ -528,3 +528,47 @@ def test_diff_versions_apply_reproduces_target(spark, tmp_path):
     # identical snapshots diff to nothing
     cur = t.snapshot()["version"]
     assert t.diff_versions(spark, cur, cur).count() == 0
+
+
+def test_feed_replay_across_rename(spark, tmp_path):
+    """A RENAME between feed commits: each commit's records use the schema
+    AS OF that commit; a replica that mirrors the DDL at the version
+    boundary (from the source lineage) replays to the exact state."""
+    t = _mk(spark, tmp_path / "t", n_rows=20)
+    ev1 = _events_df(spark, [
+        ("update", 50, 1, {"k1": "0", "k2": "b"},
+         {"k1": "0", "k2": "b", "v_str": "u1", "v_num": "1"}, None)])
+    t.merge(spark, compact_changes(ev1, KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=50, batch_id="b1")
+    t.rename_column("v_str", "v_text", lsn=55)
+    renamed_cols = [("v_text", "string"), ("v_num", "bigint")]
+    ev2 = _events_df(spark, [
+        ("update", 60, 2, {"k1": "1", "k2": "a"},
+         {"k1": "1", "k2": "a", "v_text": "u2", "v_num": "2"}, None)])
+    t.merge(spark, compact_changes(
+        ev2, KEY_COLS, renamed_cols, key_types=KT,
+        aliases=t.snapshot().get("aliases")),
+        applied_lsn=60, batch_id="b2")
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"),
+                           t.read(spark, version=1), KEY_COLS, n_buckets=4)
+    for snap in t.history():
+        v = snap["version"]
+        # mirror DDL commits from the lineage (the consumer recipe)
+        last = snap["lineage"][-1] if snap.get("lineage") else {}
+        if last.get("event") == "rename_column" and v > 1:
+            rep.rename_column(last["from"], last["to"])
+            continue
+        if not snap.get("changelog_files"):
+            continue
+        ch = t.read_changes(spark, since_version=v - 1, until_version=v)
+        # each commit's schema AS OF that commit: select only the columns
+        # the replica knows at this point (pre-rename commits carry the
+        # old name, post-rename the new)
+        rep_cols = {n for n, _ in rep.snapshot()["schema"]}
+        keep = [c for c in ch.columns
+                if c in rep_cols or c in ("_op", "_toast")]
+        rep.merge(spark, ch.select(*keep),
+                  applied_lsn=int(snap["properties"]["applied_lsn"]),
+                  batch_id=f"r{v}")
+    assert _state(spark, rep) == _state(spark, t)

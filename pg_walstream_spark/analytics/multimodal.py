@@ -455,3 +455,37 @@ def audio_decode_stats(media: DataFrame) -> DataFrame:
         "media_id long, n_samples int, sample_rate int, amp_sum long, "
         "energy long, rising_crossings long",
     )
+
+
+def resample_nearest(samples: np.ndarray, out_n: int) -> np.ndarray:
+    """Nearest-neighbor resample to a fixed length (the rate-normalization
+    step of a speech pipeline): source index = floor(dst * n / out_n) —
+    the same integer gather map as ``resize_nearest``, so the output is
+    closed-form reproducible in SQL."""
+    n = len(samples)
+    idx = (np.arange(out_n, dtype=np.int64) * n) // out_n
+    return samples[idx]
+
+
+def audio_resample_stats(media: DataFrame, out_n: int = 512) -> DataFrame:
+    """Decode each WAV payload, nearest-neighbor resample to ``out_n``
+    samples, and emit integer features of the RESAMPLED signal — the
+    resample arithmetic itself is oracle-checked analytically."""
+    from .. import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_out": [], "amp_sum": [], "energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _ = decode_wav(bytes(payload))
+                v = resample_nearest(s, out_n).astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_out"].append(out_n)
+                out["amp_sum"].append(int(v.sum()))
+                out["energy"].append(int((v * v).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "media_id long, n_out int, amp_sum long, energy long")

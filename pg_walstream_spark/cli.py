@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, required=True)
 
     p = sub.add_parser(
+        "history", help="list a table's retained snapshots (version, lsn, "
+                        "merge counters, DDL events, feed presence)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+
+    p = sub.add_parser(
         "changes", help="export the change-data-feed of a table "
                         "(read_changes over (since, until]) to parquet, "
                         "or print a summary; requires the table to have "
@@ -173,6 +179,27 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"no such table: {args.table}"}))
             return 1
         print(json.dumps(t.rebucket(spark, args.buckets, reason="cli")))
+        return 0
+
+    if args.cmd == "history":
+        # driver-local metadata reads only — no Spark session
+        from .lake.table import LakeTable
+
+        t = LakeTable(os.path.join(args.warehouse, "tables", args.table))
+        if not t.exists:
+            print(json.dumps({"error": f"no such table: {args.table}"}))
+            return 1
+        for snap in t.history():
+            last = snap["lineage"][-1] if snap.get("lineage") else {}
+            print(json.dumps({
+                "version": snap["version"],
+                "applied_lsn": snap["properties"].get("applied_lsn"),
+                "n_buckets": snap["n_buckets"],
+                "event": last.get("event"),
+                "upserts": last.get("upserts"),
+                "deletes": last.get("deletes"),
+                "changelog": bool(snap.get("changelog_files")),
+            }))
         return 0
 
     if args.cmd == "changes":

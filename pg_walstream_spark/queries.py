@@ -1257,6 +1257,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def multimodal_audio_resample(spark, sf_dir):
+    """Decode + nearest-neighbor resample to 512 samples (the
+    rate-normalization step of a speech pipeline); integer features of the
+    RESAMPLED signal, with the resample index map (src = dst*n//512)
+    reproduced analytically by the oracle."""
+    media = mm.synth_audio(_t(spark, sf_dir, "documents"))
+    return mm.audio_resample_stats(media)
+
+
+MULTIMODAL_RESAMPLE_SQL = """
+WITH geo AS (
+  SELECT doc_id AS media_id, 400 + (doc_id % 37) * 8 AS n
+  FROM documents),
+s AS (
+  SELECT media_id,
+         ((media_id * 31 + ((j.j * n) // 512) * 7) % 65536) - 32768 AS v
+  FROM geo CROSS JOIN range(0, 512) j(j))
+SELECT media_id,
+       CAST(512 AS INT) AS n_out,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC engine stages (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1553,6 +1578,9 @@ QUERIES = {
     ),
     "multimodal_audio_decode": (
         multimodal_audio_decode, MULTIMODAL_AUDIO_SQL,
+    ),
+    "multimodal_audio_resample": (
+        multimodal_audio_resample, MULTIMODAL_RESAMPLE_SQL,
     ),
     "cdc_changelog_roundtrip": (
         cdc_changelog_roundtrip, CDC_CHANGELOG_SQL,

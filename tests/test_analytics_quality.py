@@ -397,3 +397,24 @@ def test_resize_nearest_semantics():
     for y2 in range(12):
         for x2 in range(16):
             assert np.array_equal(out[y2, x2], img[y2 * 6 // 12, x2 * 9 // 16])
+
+
+def test_audio_resample_matches_formula(spark):
+    """Resample of the closed-form signal through REAL WAV decode: output
+    sample j equals s[(j*n)//512] exactly."""
+    import numpy as np
+
+    from pg_walstream_spark.analytics import multimodal as mm
+
+    docs = spark.range(12).selectExpr("id AS doc_id")
+    out = mm.audio_resample_stats(mm.synth_audio(docs)).collect()
+    for r in out:
+        mid = r["media_id"]
+        n = 400 + (mid % 37) * 8
+        src = ((mid * 31 + np.arange(n, dtype=np.int64) * 7) % 65536) - 32768
+        v = src[(np.arange(512) * n) // 512]
+        assert r["amp_sum"] == int(v.sum())
+        assert r["energy"] == int((v * v).sum())
+    # identity when out_n == n
+    s = np.arange(-5, 5, dtype=np.int16)
+    assert np.array_equal(mm.resample_nearest(s, 10), s)

@@ -572,3 +572,26 @@ def test_feed_replay_across_rename(spark, tmp_path):
                   applied_lsn=int(snap["properties"]["applied_lsn"]),
                   batch_id=f"r{v}")
     assert _state(spark, rep) == _state(spark, t)
+
+
+def test_history_cli_verb(spark, tmp_path, capsys):
+    import json
+
+    from pg_walstream_spark.cli import main as cli_main
+
+    root = tmp_path / "wh" / "tables" / "t1"
+    os.makedirs(root.parent, exist_ok=True)
+    t = _mk(spark, root, n_rows=10)
+    ev = _events_df(spark, [
+        ("update", 10, 1, {"k1": "0", "k2": "b"},
+         {"k1": "0", "k2": "b", "v_str": "u", "v_num": "1"}, None)])
+    t.merge(spark, compact_changes(ev, KEY_COLS, DATA_COLS, key_types=KT),
+            applied_lsn=10, batch_id="b0")
+    assert cli_main(["history", "--warehouse", str(tmp_path / "wh"),
+                     "--table", "t1"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["version"] for r in lines] == [1, 2]
+    assert lines[1]["upserts"] == 1 and lines[1]["changelog"] is True
+    assert cli_main(["history", "--warehouse", str(tmp_path / "wh"),
+                     "--table", "nope"]) == 1

@@ -55,7 +55,7 @@ QUERY_NAMES = [
     "ann_bruteforce_topk", "ann_ivf_topk", "lang_id", "text_quality",
     "token_stats", "doc_fingerprint", "multimodal_byte_features",
     "multimodal_image_resize", "multimodal_audio_decode",
-    "cdc_scd2_history", "cdc_asof_join",
+    "multimodal_audio_resample", "cdc_scd2_history", "cdc_asof_join",
 ]
 
 

@@ -206,7 +206,8 @@ def _append_metrics(st: dict, rec: dict) -> None:
     # batch's row — duplicates would double-count in the rollup
     ml[:] = [m for m in ml if m.get("batch_idx") != rec["batch_idx"]]
     ml.append({k: rec[k] for k in ("batch_idx", "applied_lsn", "pending",
-                                   "quarantined")})
+                                   "quarantined", "quarantine_dir")
+               if k in rec})
     tot = st.setdefault("metrics_rollup", {"batches": 0, "quarantined": 0})
     while len(ml) > METRICS_CAP:
         old = ml.pop(0)
@@ -849,6 +850,12 @@ class ReplayEngine:
             "schema_changes": 0, "stopped": False, "fast_path": True,
             "phase_ms": phase_t,
         }
+        if quar:
+            # rare error batch: one extra decode pass for just the rejects
+            # (the fast path never persists, by design)
+            qd = self._write_quarantine(events, batch_idx)
+            if qd:
+                rec["quarantine_dir"] = qd
         self._finish_fast(st, ctx, batch_idx, rec["applied_lsn"],
                           seq_range, rec)
         return rec
@@ -1376,6 +1383,10 @@ class ReplayEngine:
                 "stopped": effective_stop is not None,
                 "phase_ms": phase_t,
             }
+            if quarantined:
+                qd = self._write_quarantine(events, batch_idx)
+                if qd:
+                    rec["quarantine_dir"] = qd
             _append_metrics(st, rec)
             self._save_state(st)
             self._maybe_expire(batch_idx)
@@ -1385,6 +1396,37 @@ class ReplayEngine:
                 released.unpersist()
 
     # ---------------------------------------------------------------- helpers
+
+    def _write_quarantine(self, events: DataFrame, batch_idx) -> str | None:
+        """Dead-letter persistence of decode-rejected frames: the engine
+        only COUNTED quarantined rows before, so a malformed frame (a
+        producer bug, a protocol drift) was diagnosable only as a number.
+        When WALSTREAM_QUARANTINE=1 (default), batches with rejects also
+        write the rejected rows — locator columns (seq, lsn, xid) plus the
+        decode error string — under <warehouse>/quarantine/, so an operator
+        can inspect, fix the producer, and re-extract the raw frames from
+        the retained WAL files by seq. Runs only when the reject count is
+        already known non-zero (zero cost on clean batches; on the general
+        path the events cache makes it one cheap filtered scan). The
+        reference's analog is the error event surfaced to the consumer
+        (decode error path); here the consumer is the lake, so rejects get
+        a durable side channel instead. Never fails the batch."""
+        if os.environ.get("WALSTREAM_QUARANTINE", "1") != "1":
+            return None
+        qdir = os.path.join(self.warehouse, "quarantine",
+                            f"b{batch_idx}-{uuid.uuid4().hex[:6]}")
+        try:
+            (events.filter("error IS NOT NULL")
+             .selectExpr("seq", "lsn", "xid", "event_type", "schema_name",
+                         "table_name", "relation_oid", "error")
+             .write.mode("overwrite").parquet(qdir))
+            return qdir
+        except Exception as e:  # diagnostics must never fail the batch
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "quarantine write failed: %s", e)
+            return None
 
     def _dispo_df(self, ctx) -> DataFrame:
         names = ["open", "committed", "aborted", "prepared"]

@@ -493,3 +493,30 @@ def test_keepalive_roundtrip_and_decode_row():
     assert row["event_type"] == "keepalive"
     assert row["wal_end"] == 0x5000
     assert row["error"] is None
+
+
+def test_quarantine_dead_letter_rows_persisted(spark, tmp_path):
+    """Malformed frames are not just counted: the rejected rows (locator
+    seq/lsn/xid + decode error) land under <warehouse>/quarantine/ for
+    operator inspection, and the replayed state stays golden."""
+    import glob
+
+    base, b = wg.gen_malformed()
+    frames = b.to_table()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, frames)
+    assert_matches_golden(spark, eng, {"repos": base}, frames)
+    qdirs = glob.glob(os.path.join(str(tmp_path), "wh", "quarantine", "b*"))
+    assert len(qdirs) >= 1
+    rows = spark.read.parquet(*qdirs).collect()
+    assert len(rows) == 3
+    assert all(r["error"] for r in rows)
+    assert all(r["seq"] is not None for r in rows)
+    recs = eng._load_state()["metrics"]
+    assert any("quarantine_dir" in m for m in recs)
+
+
+def test_quarantine_disabled_by_env(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("WALSTREAM_QUARANTINE", "0")
+    base, b = wg.gen_malformed()
+    eng = run_engine(spark, str(tmp_path), {"repos": base}, b.to_table())
+    assert not os.path.isdir(os.path.join(str(tmp_path), "wh", "quarantine"))

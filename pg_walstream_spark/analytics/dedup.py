@@ -235,7 +235,61 @@ def minhash_signature_arrow(docs: DataFrame, k: int = 128,
                     bounds = np.nonzero(
                         np.concatenate(([True], u_doc[1:] != u_doc[:-1]))
                     )[0]
-                    sigs = np.minimum.reduceat(H[inv], bounds, axis=0)
+                    nd = len(bounds)
+                    dens = len(uniq) / max(nd * len(vocab), 1)
+                    if len(vocab) <= 4096 and dens >= 0.05:
+                        # dense-vocab scan (guide §2.3: move bytes of
+                        # METADATA, not payloads): tiny vocabularies make
+                        # per-doc shingle sets dense, so per hash
+                        # function walk the vocab in ascending hash order
+                        # and take each doc's FIRST present entry — the
+                        # min. Expected scan depth ~1/density; traffic is
+                        # a few bool vectors instead of the (Σ|set| x k)
+                        # gather that saturated the memory bus at 32
+                        # concurrent tasks (measured 3.3x per-task
+                        # inflation). Exact by construction.
+                        row_of = np.cumsum(np.concatenate(
+                            ([False], u_doc[1:] != u_doc[:-1])))
+                        inc = np.zeros((nd, len(vocab)), bool)
+                        inc[row_of, inv] = True
+                        order = np.argsort(H, axis=0, kind="stable")
+                        sigs = np.empty((nd, k), np.int64)
+                        for j in range(k):
+                            oj = order[:, j]
+                            unresolved = np.ones(nd, bool)
+                            col = sigs[:, j]
+                            for r_i in range(len(vocab)):
+                                v = oj[r_i]
+                                hit = inc[:, v] & unresolved
+                                if hit.any():
+                                    col[hit] = H[v, j]
+                                    unresolved &= ~hit
+                                    if not unresolved.any():
+                                        break
+                    elif len(vocab) <= 0xFFFF:
+                        # rank compression (guide §2.3 "narrower types"):
+                        # reduceat over H[inv] materializes a
+                        # (Σ|set| x k) int64 matrix — ~550 MB/task at
+                        # k=128, and 32 concurrent tasks saturate the
+                        # memory bus (the measured wall of this stage).
+                        # Per hash function, min(H) == H at min RANK, so
+                        # gather+reduce uint16 ranks (4x less traffic)
+                        # and map the winning rank back through the
+                        # per-function sorted values. Exact: rank order
+                        # is value order per column (stable argsort).
+                        order = np.argsort(H, axis=0, kind="stable")
+                        ranks = np.empty(H.shape, np.uint16)
+                        np.put_along_axis(
+                            ranks, order,
+                            np.arange(len(vocab), dtype=np.uint16)[:, None],
+                            axis=0)
+                        h_sorted = np.take_along_axis(H, order, axis=0)
+                        rmin = np.minimum.reduceat(ranks[inv], bounds,
+                                                   axis=0)
+                        sigs = np.take_along_axis(
+                            h_sorted, rmin.astype(np.intp), axis=0)
+                    else:
+                        sigs = np.minimum.reduceat(H[inv], bounds, axis=0)
                     out_ids = list(u_doc[bounds])
                     out_sigs = list(sigs)
                     if with_shingle_codes:
@@ -303,15 +357,22 @@ def _band_candidates(sig: DataFrame, k: int, bands: int,
                      max_bucket: int | None = None) -> DataFrame:
     """Signature DF → distinct LSH candidate pairs. Bands via ONE explode,
     not a per-band union: a union of b branches re-evaluates the signature
-    subtree b times, and the candidate self-join doubles that again —
-    32 evaluations at k=128/b=16. Explode + persist makes it one; the
-    persisted band-rows DF is appended to ``pinned`` so the caller can
-    release it after materializing downstream results.
+    subtree b times (32 evaluations at k=128/b=16).
 
-    With ``max_bucket``, buckets above the cap are removed via a broadcast
-    anti-join against the (tiny, ≤ n_rows/cap) hot-bucket list computed
-    from the persisted band rows — the band rows themselves take no extra
-    shuffle."""
+    Pairs come from ONE bucket aggregation (collect ids per (band,
+    band_key), sort, emit in-group combinations), not a self-join of the
+    band rows (guide §2.4 remove-shuffles): the self-join formulation
+    shuffled the band rows twice more (hot-count groupBy + join, ~150-byte
+    string keys both times) plus a broadcast anti-join — measured 6.3 s at
+    sf1.0 against 2-3 s for the aggregation form, identical output. The
+    hot-bucket guard becomes a size() filter on the collected bucket
+    (same count semantics as the old HAVING); a pathological mega-bucket
+    (millions of docs sharing a signature band) materializes one
+    O(bucket) array row here before being dropped — run exact_dedup
+    upstream if identical-content floods that size are expected.
+
+    ``pinned`` is kept for API compatibility; this formulation is a
+    single linear pipeline and pins no cache of its own."""
     r = k // bands
     band_structs = F.array(*[
         F.struct(
@@ -326,30 +387,27 @@ def _band_candidates(sig: DataFrame, k: int, bands: int,
         sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(F.col(id_col), F.col("bk.band").alias("band"),
                 F.col("bk.band_key").alias("band_key"))
-        .persist()
     )
-    if pinned is not None:
-        pinned.append(band_rows)
+    buckets = band_rows.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids")
+    )
     if max_bucket is not None:
-        hot = (
-            band_rows.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "band_key")
-        )
-        band_rows = band_rows.join(F.broadcast(hot),
-                                   on=["band", "band_key"],
-                                   how="left_anti")
-    a = band_rows.select(
-        F.col(id_col).alias("id_a"), "band", "band_key"
-    )
-    bb = band_rows.select(
-        F.col(id_col).alias("id_b"), "band", "band_key"
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    # in-bucket combinations: _ids is sorted ascending, so slicing past
+    # each element yields exactly the id_a < id_b pairs of the old
+    # self-join formulation
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(F.expr(
+                "transform(_ids, (a, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "b -> struct(a AS id_a, b AS id_b)))"
+            ))
+        ).alias("p")
     )
     return (
-        a.join(bb, on=["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        pairs.select(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -396,6 +454,83 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16,
 def simhash_pieces(docs: DataFrame, n_pieces: int = 4, piece_bits: int = 16,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash as ``n_pieces`` piece columns ``p0..p{n-1}`` —
+    values BIT-IDENTICAL to ``simhash_pieces_expr`` (the original
+    expression formulation, kept below as the differential baseline) and
+    to the DuckDB oracle SQL, computed in ONE vectorized Arrow pass.
+
+    The expression path explodes every token row (3M rows at sf1.0) and
+    runs 64 conditional sums over 16 hex-digit columns per row — measured
+    ~5-6 s at sf1.0 against ~1 s of actual arithmetic (guide §4.2: hand
+    whole batches to numpy instead). Here each task md5-hashes only its
+    DISTINCT tokens into a (vocab x 64) ±1 matrix, maps the token stream
+    to vocab indices, and the per-doc bit sums are one
+    ``np.add.reduceat``. Docs with zero tokens emit no row — exactly the
+    explode+groupBy semantics."""
+    from .. import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    bits = n_pieces * piece_bits
+    n_digits = (bits + 3) // 4
+
+    def fn(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        tok_idx: dict[str, int] = {}
+        rows: list[np.ndarray] = []
+        pat = re.compile(r"[a-z0-9]+")
+
+        def idx_of(t: str) -> int:
+            i = tok_idx.get(t)
+            if i is None:
+                h = hashlib.md5(t.encode()).hexdigest()
+                digs = np.array([int(c, 16) for c in h[:n_digits]], np.int32)
+                # bit j reads digit j//4 shifted by j%4 — flatten order
+                bv = ((digs[:, None] >> np.arange(4)) & 1).reshape(-1)[:bits]
+                i = len(rows)
+                rows.append((bv * 2 - 1).astype(np.int32))
+                tok_idx[t] = i
+            return i
+
+        weights = (1 << np.arange(piece_bits, dtype=np.int64))
+        for b in batches:
+            ids = b.column(id_col).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            out_ids, idxs, counts = [], [], []
+            for i, t in zip(ids, texts):
+                toks = pat.findall((t or "").lower())
+                if not toks:
+                    continue  # explode+groupBy drops token-less docs
+                out_ids.append(i)
+                counts.append(len(toks))
+                idxs.extend(idx_of(tk) for tk in toks)
+            if not out_ids:
+                continue
+            B = np.stack(rows)  # vocab x bits, ±1
+            flat = np.asarray(idxs, np.int64)
+            bounds = np.concatenate(
+                ([0], np.cumsum(np.asarray(counts, np.int64))))[:-1]
+            sums = np.add.reduceat(B[flat], bounds, axis=0)
+            pos = sums > 0
+            cols = {id_col: pa.array(np.asarray(out_ids, np.int64))}
+            for p in range(n_pieces):
+                piece = (pos[:, p * piece_bits:(p + 1) * piece_bits]
+                         * weights).sum(axis=1)
+                cols[f"p{p}"] = pa.array(piece.astype(np.int64))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    ddl = f"{id_col} long, " + ", ".join(
+        f"p{p} long" for p in range(n_pieces))
+    return docs.select(id_col, text_col).mapInArrow(fn, ddl)
+
+
+def simhash_pieces_expr(docs: DataFrame, n_pieces: int = 4,
+                        piece_bits: int = 16, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
     """64-bit simhash (by default) as ``n_pieces`` integer piece columns
     ``p0..p{n-1}`` of ``piece_bits`` bits each. Pieces, not one packed long:
     (a) bit 63 of a packed value would overflow a signed long, and (b) the
@@ -570,10 +705,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
-# above this many docs the per-doc shingle-set table stops being
-# broadcast-sized (≈ n_docs × avg_set × 8 B both sides) and the rescore
-# switches to the shuffle plan
-_JACCARD_BROADCAST_MAX_DOCS = 50_000
+# above this many docs the per-doc shingle-set + signature table stops
+# being broadcast-sized (≈ n_docs × (avg_set × 8 + k × 8) B ≈ 3.3 KB/doc
+# at k=128 and 300-shingle docs → ~330 MB at the cap, the
+# hundreds-of-MB broadcast regime of guide §3.1) and the rescore switches
+# to the shuffle plan. Raised 50k → 100k in round 8: the sf1.0 corpus
+# (60k docs) fell off the broadcast path and paid a 210M-row
+# (candidate × shingle) shuffle join — 30+ s for a ~2 s broadcast-side
+# rescore.
+_JACCARD_BROADCAST_MAX_DOCS = 100_000
 
 
 def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
@@ -621,37 +761,93 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
     # there cuts ~90% of the exact set intersections — the rescore's cost
     # is per-candidate O(|A|+|B|) (~2k ops) vs k (=128) for the estimate.
     est_min = int(math.ceil(k * max(threshold - 0.15, 0.0)))
-    sa = sig.selectExpr(f"{id_col} AS id_a",
-                        *[f"h{i} AS a{i}" for i in range(k)])
-    sb = sig.selectExpr(f"{id_col} AS id_b",
-                        *[f"h{i} AS b{i}" for i in range(k)])
-    if rescore != "shuffle":
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    est = " + ".join(
-        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k)
-    )
-    cand = (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .filter(f"({est}) >= {est_min}")
-        .select("id_a", "id_b")
-    )
     if rescore == "broadcast":
-        sets = sig.select(
-            F.col(id_col).alias("id"), F.col("sh_codes").alias("shs"),
-            F.size("sh_codes").alias("sz"),
+        # Vectorized broadcast rescore (guide §8 "broadcast the plan",
+        # §4.2 whole-batch numpy): ship ONE driver-built bundle of the
+        # signature matrix + concatenated sorted code sets to every
+        # worker, then est-prefilter AND exact intersection run inside a
+        # single mapInArrow pass over the candidate pairs. The previous
+        # JVM formulation built four broadcast hash relations (two
+        # 128-column signature tables, two array-set tables, ~60-140 MB
+        # each at sf1.0) and ran a 128-term CASE chain plus
+        # array_intersect per pair — measured 20-36 s cold / ~4 s warm
+        # against <1 s for the numpy form. Bit-exact: integer equality
+        # counts, integer intersections, one IEEE double division; the
+        # 6dp rounding stays in the JVM projection below.
+        tbl = sig.select(id_col, *[f"h{i}" for i in range(k)],
+                         "sh_codes").toArrow()
+        import numpy as np
+
+        b_ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        b_H = np.column_stack([
+            np.asarray(tbl.column(f"h{i}"), dtype=np.int64)
+            for i in range(k)
+        ])
+        codes_col = tbl.column("sh_codes").combine_chunks()
+        b_flat = np.asarray(codes_col.values, dtype=np.int64)
+        b_off = np.asarray(codes_col.offsets, dtype=np.int64)
+        sort_ix = np.argsort(b_ids, kind="stable")
+        bundle = docs.sparkSession.sparkContext.broadcast(
+            (b_ids[sort_ix], sort_ix, b_H, b_off, b_flat))
+
+        def rescore_fn(batches):
+            import numpy as _np
+            import pyarrow as _pa
+
+            ids_sorted, perm, H, off, flat = bundle.value
+            for bt in batches:
+                ia = _np.asarray(bt.column("id_a"), dtype=_np.int64)
+                ib = _np.asarray(bt.column("id_b"), dtype=_np.int64)
+                if len(ia) == 0:
+                    continue
+                ra = perm[_np.searchsorted(ids_sorted, ia)]
+                rb = perm[_np.searchsorted(ids_sorted, ib)]
+                keep = _np.count_nonzero(H[ra] == H[rb], axis=1) >= est_min
+                ia, ib, ra, rb = ia[keep], ib[keep], ra[keep], rb[keep]
+                out_a, out_b, out_j = [], [], []
+                for i in range(len(ra)):
+                    a_i, b_i = ra[i], rb[i]
+                    sa_ = flat[off[a_i]:off[a_i + 1]]
+                    sb_ = flat[off[b_i]:off[b_i + 1]]
+                    inter = _np.intersect1d(
+                        sa_, sb_, assume_unique=True).size
+                    jac = inter / (len(sa_) + len(sb_) - inter)
+                    if jac >= threshold:
+                        out_a.append(int(ia[i]))
+                        out_b.append(int(ib[i]))
+                        out_j.append(jac)
+                if not out_a:
+                    continue
+                yield _pa.RecordBatch.from_pydict({
+                    "id_a": _pa.array(out_a, _pa.int64()),
+                    "id_b": _pa.array(out_b, _pa.int64()),
+                    "jaccard": _pa.array(out_j, _pa.float64()),
+                })
+
+        out = (
+            cand.mapInArrow(rescore_fn,
+                            "id_a long, id_b long, jaccard double")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
-        a = sets.select(F.col("id").alias("id_a"),
-                        F.col("shs").alias("shs_a"),
-                        F.col("sz").alias("sz_a"))
-        b = sets.select(F.col("id").alias("id_b"),
-                        F.col("shs").alias("shs_b"),
-                        F.col("sz").alias("sz_b"))
-        inter = F.size(F.array_intersect("shs_a", "shs_b"))
-        scored = (
-            cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-            .withColumn("inter", inter)
-        )
+        try:
+            return _eager_release(out, *pinned)
+        finally:
+            bundle.destroy()
     else:
+        # corpus-scale est prefilter: attach both signatures and keep the
+        # component-match count ≥ est_min — shuffle joins, no broadcasts
+        sa = sig.selectExpr(f"{id_col} AS id_a",
+                            *[f"h{i} AS a{i}" for i in range(k)])
+        sb = sig.selectExpr(f"{id_col} AS id_b",
+                            *[f"h{i} AS b{i}" for i in range(k)])
+        est = " + ".join(
+            f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k)
+        )
+        cand = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(f"({est}) >= {est_min}")
+            .select("id_a", "id_b")
+        )
         # corpus-scale rescore: |A ∩ B| as a counting join — candidates
         # pick up set A's codes (join on id_a), then an equality join on
         # (id_b, code) keeps exactly the shared codes. No broadcasts, no

@@ -41,7 +41,7 @@ def docs_as_media(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Materialize an opaque-binary media table from the documents fixture
     (payload = utf-8 bytes; in production this is the image/audio blob)."""
-    return docs.select(
+    out = docs.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.struct(
@@ -52,6 +52,12 @@ def docs_as_media(docs: DataFrame, text_col: str = "text",
             F.col("source").alias("source"),
         ).alias("meta"),
     )
+    # the documents fixture is a single one-row-group parquet file — an
+    # unsplittable 1-task scan — and every consumer of this table feeds a
+    # Python (mapInPandas/mapInArrow) stage that inherits that single
+    # task. One cheap shuffle of the small table makes the whole Python
+    # tier core-parallel (guide §2.5 input skew / §4).
+    return out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -182,6 +188,9 @@ def synth_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "payload": payloads,
             })
 
+    # single-file source: spread the (3-int-column) geometry rows so the
+    # encode and the chained decode stages run core-parallel
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return src.mapInPandas(fn, "media_id long, payload binary")
 
 
@@ -422,6 +431,7 @@ def synth_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "media_id": pdf["media_id"], "payload": payloads,
             })
 
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return src.mapInPandas(fn, "media_id long, payload binary")
 
 

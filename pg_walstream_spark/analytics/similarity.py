@@ -310,30 +310,90 @@ def ann_lsh_pairs_arrow(emb: DataFrame, threshold: float = 0.95,
     exact. At 12 planes x 16 bands the per-pair miss probability at
     cos 0.987 is ~6e-6."""
     buckets = lsh_buckets_arrow(emb, n_planes, bands, dim, vec_col, id_col)
-    buckets = buckets.persist()
-    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    # candidate pairs from ONE bucket aggregation (sorted collect + in-group
+    # combinations) instead of a self-join of the band rows — one linear
+    # pipeline, no persist, two fewer shuffles (guide §2.4; same rewrite as
+    # dedup._band_candidates). Sign-LSH buckets at 12 planes stay small
+    # (measured max 59 docs on the sf1.0 near-dup corpus), so the
+    # per-bucket array row is bounded.
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("_ids"))
     cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(F.expr(
+            "flatten(transform(_ids, (a, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), "
+            "b -> struct(a AS id_a, b AS id_b))))"
+        )).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    base = emb.select(F.col(id_col), F.col(vec_col),
-                      _norm(vec_col).alias("_n"))
-    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                     F.col("_n").alias("na"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                     F.col("_n").alias("nb"))
+    # Vectorized broadcast rescore (guide §8 / §4.2): the JVM formulation
+    # attached both 64-double vectors to every candidate row through two
+    # shuffle joins and evaluated an interpreted higher-order dot per pair
+    # (~GBs shuffled, 6-26 s at 1.7M sf1.0 candidates). Instead ship the
+    # (n x dim) matrix + norms once and compute the dots in numpy with the
+    # SAME left-to-right accumulation order as F.aggregate — one fused
+    # multiply-add per dimension across the pair batch — so every double
+    # is bit-identical to the JVM result. The 6dp HALF_UP rounding and the
+    # threshold comparison stay in the JVM projection; the kernel only
+    # prefilters with a conservative margin.
+    tbl = emb.select(id_col, vec_col).toArrow()
+    import numpy as np
+
+    b_ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+    vcol = tbl.column(vec_col).combine_chunks()
+    flat = np.asarray(vcol.values, dtype=np.float64)
+    offs = np.asarray(vcol.offsets, dtype=np.int64)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all():
+        Vm = flat.reshape(len(b_ids), int(widths[0]))
+    else:  # ragged corpus: pad is unsafe — fall back to per-row arrays
+        Vm = np.array(vcol.to_pylist(), dtype=np.float64)
+    norms = np.zeros(len(b_ids), np.float64)
+    for d in range(Vm.shape[1]):  # sequential order == F.aggregate
+        norms = norms + Vm[:, d] * Vm[:, d]
+    norms = np.sqrt(norms)
+    sort_ix = np.argsort(b_ids, kind="stable")
+    bundle = emb.sparkSession.sparkContext.broadcast(
+        (b_ids[sort_ix], sort_ix, Vm, norms))
+    margin = 1e-6  # covers the largest possible 6dp round-up
+
+    def rescore_fn(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids_sorted, perm, V, nrm = bundle.value
+        for bt in batches:
+            ia = _np.asarray(bt.column("id_a"), dtype=_np.int64)
+            ib = _np.asarray(bt.column("id_b"), dtype=_np.int64)
+            if len(ia) == 0:
+                continue
+            ra = perm[_np.searchsorted(ids_sorted, ia)]
+            rb = perm[_np.searchsorted(ids_sorted, ib)]
+            A, B = V[ra], V[rb]
+            acc = _np.zeros(len(ra), _np.float64)
+            for d in range(V.shape[1]):  # JVM aggregate order, per element
+                acc = acc + A[:, d] * B[:, d]
+            cos = acc / (nrm[ra] * nrm[rb])
+            keep = cos >= threshold - margin
+            if not keep.any():
+                continue
+            yield _pa.RecordBatch.from_pydict({
+                "id_a": _pa.array(ia[keep]),
+                "id_b": _pa.array(ib[keep]),
+                "cos_raw": _pa.array(cos[keep]),
+            })
+
     out = (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn(
-            "cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
-        )
+        cand.mapInArrow(rescore_fn, "id_a long, id_b long, cos_raw double")
+        .withColumn("cos", F.round(F.col("cos_raw"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
-    return _eager_release(out, buckets)
+    try:
+        return _eager_release(out)
+    finally:
+        bundle.destroy()
 
 
 def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -348,6 +408,15 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
     if train_iterations > 0:
         cents = ivf_train_centroids(emb, n_centroids, train_iterations,
                                     vec_col, id_col)
+        # materialize the trained centroids (n_centroids rows — control-
+        # plane-sized) into a literal local relation: every downstream
+        # broadcast of `cents` would otherwise re-evaluate the whole
+        # k-means subtree (a full corpus pass) per exchange, and the
+        # final plan carries it 2-3 times (guide §3.3: materialize
+        # intermediates to truncate the plan). collect() round-trips
+        # IEEE doubles exactly, so values are unchanged.
+        cents = emb.sparkSession.createDataFrame(
+            cents.collect(), cents.schema)
         scored0 = base.crossJoin(F.broadcast(cents)).withColumn(
             "sim",
             F.round(_dot(vec_col, "cvec") / (F.col("_n") * F.col("cnorm")), 9),

@@ -32,8 +32,22 @@ def language_scores(docs: DataFrame, text_col: str = "text",
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Predicted language = argmax stopword hits (ties → alphabetical;
-    all-zero → 'und' undetermined)."""
-    scores = language_scores(docs, text_col, id_col)
+    all-zero → 'und' undetermined).
+
+    Hit counts are per-row array expressions (size ∘ filter over the token
+    array), not the explode + groupBy of ``language_scores``: the per-doc
+    counts are identical, the token-row shuffle disappears (guide §2.4),
+    and — matching the per-row oracle SQL exactly — docs with zero tokens
+    now yield 'und' instead of being dropped by the explode."""
+    tok = tokens(text_col)
+    scores = docs.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(tok, lambda x: x.isin(words))).alias(
+                f"hits_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
     langs = sorted(STOPWORDS)
     # deterministic fold: strictly-greater keeps the alphabetically-first
     # language on ties

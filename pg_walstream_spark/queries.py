@@ -103,10 +103,20 @@ GROUP BY event_type
 
 def cdc_fence_dedup(spark, sf_dir):
     """Duplicate suppression: first event per (user, type, value) — the
-    at-least-once fence analog."""
+    at-least-once fence analog.
+
+    The events fixture is one single-row-group parquet file (1-task scan),
+    and the group key is near-unique, so map-side partial aggregation
+    reduces nothing — it just builds a million-entry hash map on the one
+    scan core. Hash-repartitioning by a PREFIX of the group key first
+    (satisfies the aggregation's clustering requirement — same exchange
+    count) moves the whole aggregation onto parallel reducers; the scan
+    task only partitions rows (guide §2.5 input skew). min/count are
+    exact, so the result is partitioning-invariant."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type",
-                      F.round("value", 6).alias("value_r")).agg(
+    return ev.repartition("user_id", "event_type").groupBy(
+        "user_id", "event_type",
+        F.round("value", 6).alias("value_r")).agg(
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
@@ -289,13 +299,24 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(spark, sf_dir):
+    """Join order chosen so lineitem (the 6M-row fact side) is never
+    shuffled (guide §3.1): orders is semi-reduced by the broadcast
+    BUILDING-customer filter first (~1/5 survive, 3 narrow columns), and
+    that small result is itself broadcast against lineitem. The one
+    remaining exchange carries the partially-aggregated (orderkey) rows
+    into the final aggregation; the old plan sort-merge-joined
+    lineitem⋈orders through two full-table exchanges."""
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    o_bld = (
+        o.join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")
+                           .select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
     rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
-              o.o_custkey == cu.c_custkey)
+        li.join(F.broadcast(o_bld), li.l_orderkey == o_bld.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -326,11 +347,21 @@ def q5_nation_revenue(spark, sf_dir):
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
     re = _t(spark, sf_dir, "region")
+    # lineitem (6M rows) never shuffles: orders picks up the customer
+    # nation via a broadcast join, the resulting (o_orderkey, c_nationkey)
+    # pair table (~24 MB — guide §3.1's comfortably-broadcastable regime)
+    # is broadcast against lineitem, and supplier/nation/region stay
+    # broadcast. The only exchange left is the 25-group final aggregation;
+    # the old plan shuffled lineitem, orders AND customer.
+    o_n = (
+        o.join(F.broadcast(cu.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(cu, o.o_custkey == cu.c_custkey)
+        li.join(F.broadcast(o_n), li.l_orderkey == o_n.o_orderkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .filter(cu.c_nationkey == su.s_nationkey)
+        .filter(F.col("c_nationkey") == su.s_nationkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -741,9 +772,20 @@ WHERE round(list_dot_product(a.embedding, b.embedding)
 # ---------------------------------------------------------------------------
 
 
+def _par_embeddings(spark, sf_dir):
+    """embeddings is a single one-row-group parquet file — an unsplittable
+    1-task scan (guide §2.5 input skew). The ANN operators' dominant cost
+    is per-vector JVM dot products in the stages ABOVE that scan, so
+    repartition the (small) table once and every downstream narrow stage
+    runs corpus-parallel instead of single-task."""
+    return _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def ann_bruteforce_topk(spark, sf_dir):
     return sim.ann_bruteforce(
-        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        _par_embeddings(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
     )
 
 
@@ -773,13 +815,13 @@ def ann_ivf_topk(spark, sf_dir):
     accidental"). Component means are exact decimal sums so DuckDB
     reproduces the trained centroids bit-for-bit."""
     return sim.ann_ivf(
-        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+        _par_embeddings(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
         n_centroids=8, n_probe=2, train_iterations=1,
     )
 
 
 def ann_lsh_pairs(spark, sf_dir):
-    return sim.ann_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return sim.ann_lsh_pairs(_par_embeddings(spark, sf_dir), threshold=0.45)
 
 
 def _ann_lsh_sql(n_planes: int = 4, bands: int = 8) -> str:

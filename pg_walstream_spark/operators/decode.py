@@ -187,6 +187,18 @@ _B_STRUCT = struct.Struct(">QqI")   # final_lsn, ts, xid
 _C_STRUCT = struct.Struct(">QQq")   # commit_lsn, end_lsn, ts
 
 
+def _i64(v):
+    """Reinterpret an unsigned 64-bit parser value as signed int64 (two's
+    complement). The parser surface keeps true u64 semantics (pinned by the
+    begin_u64_lsn_high_bit spec vector), but every kernel-side store —
+    events schema, context arrays, Arrow tables — is int64, and _be64
+    already views the same bytes as signed. A u64 LSN past 2^63 (9.2 EB of
+    WAL) is unreachable for a real server but arrives freely from fuzzed/
+    corrupt frames; unwrapped it overflowed Arrow int64 construction in the
+    control-rows path (tests/test_fuzz_bytes.py, round 8)."""
+    return v - (1 << 64) if v is not None and v >= (1 << 63) else v
+
+
 def _fast_begin_commit(data: bytes) -> dict | None:
     """Inline parse of the two dominant control tags. Returns None for
     anything else (general parser path), including frames SHORTER than
@@ -313,7 +325,8 @@ def build_context(
             if open_begin_idx is not None:
                 beg_e[open_begin_idx] = seq
                 dispo[beg_x[open_begin_idx]] = (
-                    ST_COMMITTED, m["commit_lsn"], m["end_lsn"], m["commit_ts_us"]
+                    ST_COMMITTED, _i64(m["commit_lsn"]), _i64(m["end_lsn"]),
+                    m["commit_ts_us"]
                 )
                 open_begin_idx = None
         elif et == "prepare":
@@ -323,7 +336,8 @@ def build_context(
                 open_begin_idx = None
         elif et == "commit_prepared":
             dispo[m["xid"]] = (
-                ST_COMMITTED, m["prepare_lsn"], m["end_lsn"], m["commit_ts_us"]
+                ST_COMMITTED, _i64(m["prepare_lsn"]), _i64(m["end_lsn"]),
+                m["commit_ts_us"]
             )
         elif et == "rollback_prepared":
             dispo[m["xid"]] = (ST_ABORTED, 0, 0, 0)
@@ -338,7 +352,8 @@ def build_context(
                     break
         elif et == "stream_commit":
             dispo[m["xid"]] = (
-                ST_COMMITTED, m["commit_lsn"], m["end_lsn"], m["commit_ts_us"]
+                ST_COMMITTED, _i64(m["commit_lsn"]), _i64(m["end_lsn"]),
+                m["commit_ts_us"]
             )
         elif et == "stream_prepare":
             dispo.setdefault(m["xid"], (ST_PREPARED, 0, 0, 0))
@@ -373,8 +388,10 @@ def build_context(
         xids = np.array(sorted(dispo), np.int64)
         ctx.xid_sorted = xids
         ctx.xid_status = np.array([dispo[x][0] for x in xids], np.int8)
-        ctx.xid_commit_lsn = np.array([dispo[x][1] for x in xids], np.int64)
-        ctx.xid_end_lsn = np.array([dispo[x][2] for x in xids], np.int64)
+        ctx.xid_commit_lsn = np.array(
+            [_i64(dispo[x][1]) for x in xids], np.int64)
+        ctx.xid_end_lsn = np.array(
+            [_i64(dispo[x][2]) for x in xids], np.int64)
         ctx.xid_ts = np.array([dispo[x][3] for x in xids], np.int64)
     ctx.open_xid_carry = beg_x[open_begin_idx] if open_begin_idx is not None else None
     open_spans = [x for s_, e_, x in zip(span_s, span_e, span_x)
@@ -1008,11 +1025,11 @@ def _decode_control_rows(
         et = m["event_type"]
         r = {**base, "event_type": et, "xid": m.get("xid")}
         if et == "begin":
-            r["final_lsn"] = m["final_lsn"]
+            r["final_lsn"] = _i64(m["final_lsn"])
             r["commit_ts_us"] = m["commit_ts_us"]
         elif et in ("commit", "stream_commit"):
-            r["commit_lsn"] = m["commit_lsn"]
-            r["end_lsn"] = m["end_lsn"]
+            r["commit_lsn"] = _i64(m["commit_lsn"])
+            r["end_lsn"] = _i64(m["end_lsn"])
             r["commit_ts_us"] = m["commit_ts_us"]
             r["txn_status"] = "committed"
         elif et == "relation":
@@ -1042,21 +1059,22 @@ def _decode_control_rows(
             r["schema_name"] = m["namespace"]
             r["table_name"] = m["name"]
         elif et == "origin":
-            r["final_lsn"] = m["origin_lsn"]
+            r["final_lsn"] = _i64(m["origin_lsn"])
             r["table_name"] = m["name"]
             # stamp the enclosing txn so origin filtering can poison its DML
             ox = ctx.txn_of(np.array([seq[i]]))[0]
             r["xid"] = int(ox) if ox >= 0 else None
         elif et == "message":
-            r["final_lsn"] = m["message_lsn"]
+            r["final_lsn"] = _i64(m["message_lsn"])
             r["table_name"] = m["prefix"]
             r["message_content"] = bytes(m["content"])
         elif et in ("begin_prepare", "prepare", "commit_prepared",
                     "rollback_prepared", "stream_prepare"):
             r["gid"] = m["gid"]
-            r["end_lsn"] = m.get("end_lsn")
+            r["end_lsn"] = _i64(m.get("end_lsn"))
             r["commit_ts_us"] = m.get("commit_ts_us")
-            r["commit_lsn"] = m.get("prepare_lsn", m.get("prepare_end_lsn"))
+            r["commit_lsn"] = _i64(m.get("prepare_lsn",
+                                         m.get("prepare_end_lsn")))
             if et == "commit_prepared":
                 r["txn_status"] = "committed"
         elif et == "stream_abort":
@@ -1067,7 +1085,7 @@ def _decode_control_rows(
             # truncate filter), but the payload wal_end is the server flush
             # position — surface it so received-LSN tracking can advance
             # past the last data frame (reference stream.rs:1126-1142)
-            r["wal_end"] = m["wal_end"]
+            r["wal_end"] = _i64(m["wal_end"])
             r["server_time"] = m["server_ts_us"]
         rows.append(r)
     return _rows_to_table(rows)

@@ -171,3 +171,37 @@ def test_kernel_quarantines_what_parser_rejects(payloads):
             assert errors[i] is not None, (
                 f"frame {i} ({p!r}) rejected by parser but kernel emitted "
                 f"a clean row")
+
+
+def test_u64_lsn_high_bit_control_frames_decode_without_overflow():
+    """Deterministic pin of the round-8 hypothesis find: control frames
+    whose u64 LSN fields have the top bit set (impossible for a real
+    server — 9.2 EB of WAL — but trivial for a fuzzed/corrupt producer)
+    must not overflow the kernel's int64 Arrow construction. The parser
+    surface keeps true u64 values (spec vector begin_u64_lsn_high_bit);
+    the kernel stores the signed two's-complement reinterpretation,
+    matching _be64's view of the same bytes."""
+    import struct
+
+    from pg_walstream_spark.operators.decode import (
+        build_context, decode_batch,
+    )
+
+    hi = 0xFFFFFFFF00000001
+    payloads = [
+        b"B" + struct.pack(">QqI", hi, 0, 1),                 # begin
+        b"C" + b"\x00" + struct.pack(">QQq", hi, hi, -2),     # commit
+        b"O" + struct.pack(">Q", hi) + b"org\x00",            # origin
+        b"M" + b"\x00" + struct.pack(">Q", hi) + b"p\x00"
+        + struct.pack(">I", 1) + b"x",                        # message
+    ]
+    batch = _frames_batch(payloads)
+    ctrl = [{"seq": i, "wal_start": 1000 + i, "data": p}
+            for i, p in enumerate(payloads)]
+    ctx = build_context(ctrl)
+    out = decode_batch(batch, ctx)  # must not raise
+    assert out.num_rows == len(payloads)
+    assert out.column("error").null_count == len(payloads)
+    vals = dict(zip(out.column("seq").to_pylist(),
+                    out.column("final_lsn").to_pylist()))
+    assert vals[0] == hi - (1 << 64)  # signed reinterpretation

@@ -829,10 +829,14 @@ def ngram_jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.65,
                             "id_a long, id_b long, jaccard double")
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
-        try:
-            return _eager_release(out, *pinned)
-        finally:
-            bundle.destroy()
+        res = _eager_release(out, *pinned)
+        if res is out:
+            # result stayed distributed (past _DRIVER_RESULT_CAP): its
+            # cached partitions may be evicted and recomputed later, so
+            # the broadcast must outlive this call
+            return res
+        bundle.destroy()
+        return res
     else:
         # corpus-scale est prefilter: attach both signatures and keep the
         # component-match count ≥ est_min — shuffle joins, no broadcasts

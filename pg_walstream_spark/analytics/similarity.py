@@ -390,10 +390,13 @@ def ann_lsh_pairs_arrow(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
-    try:
-        return _eager_release(out)
-    finally:
-        bundle.destroy()
+    res = _eager_release(out)
+    if res is out:
+        # stayed distributed (past _DRIVER_RESULT_CAP): cached partitions
+        # may recompute later — the broadcast must outlive this call
+        return res
+    bundle.destroy()
+    return res
 
 
 def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,

@@ -39,13 +39,36 @@ def _dot(a, b):
     )
 
 
+def _norm_raw(vec_col):
+    """_norm for a column already array<double> — same fold, no per-eval
+    transform cast (the higher-order lambdas are interpreted, so a
+    redundant cast-transform copies the array on every evaluation)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot_raw(a, b):
+    """_dot for columns already array<double> — identical arithmetic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
 def ann_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 5,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
     Deterministic tie-break: (cos desc, neighbor id asc)."""
-    base = emb.select(F.col(id_col), F.col(vec_col),
-                      _norm(vec_col).alias("_n"))
+    # cast to double ONCE (exact) so the per-pair dot skips the
+    # interpreted cast-transform copy — required for _dot_raw below
+    dvec = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col), dvec.alias(vec_col),
+                      _norm_raw(dvec).alias("_n"))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("_n").alias("qn"),
@@ -57,7 +80,8 @@ def ann_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 5,
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cos", F.round(_dot_raw(F.col("qv"), F.col("cv"))
+                                   / (F.col("qn") * F.col("cn")), 6))
     )
     from pyspark.sql import Window
 
@@ -407,7 +431,14 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
     ``train_iterations > 0`` refines the seed centroids with that many
     k-means passes (ivf_train_centroids) before assignment — round 1
     searched against untrained first-C-by-id seeds."""
-    base = emb.select(F.col(id_col), F.col(vec_col), _norm(vec_col).alias("_n"))
+    # cast the vectors to double ONCE in the projection: _dot/_norm's
+    # per-evaluation cast-transform is an interpreted lambda that copies
+    # the array on every dot product (3 crossJoin scoring sites below).
+    # cast(array<float> -> array<double>) is exact, so all sims/cos are
+    # bit-identical.
+    dvec = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col), dvec.alias(vec_col),
+                      _norm_raw(dvec).alias("_n"))
     if train_iterations > 0:
         cents = ivf_train_centroids(emb, n_centroids, train_iterations,
                                     vec_col, id_col)
@@ -422,7 +453,8 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
             cents.collect(), cents.schema)
         scored0 = base.crossJoin(F.broadcast(cents)).withColumn(
             "sim",
-            F.round(_dot(vec_col, "cvec") / (F.col("_n") * F.col("cnorm")), 9),
+            F.round(_dot_raw(F.col(vec_col), F.col("cvec"))
+                    / (F.col("_n") * F.col("cnorm")), 9),
         )
         ord0 = F.struct(F.col("sim"), (-F.col("centroid_id")).alias("nid"))
         assign = scored0.groupBy(id_col).agg(
@@ -444,7 +476,8 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
     from pyspark.sql import Window
 
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(_dot("qv", "cvec") / (F.col("qn") * F.col("cnorm")), 9)
+        "sim", F.round(_dot_raw(F.col("qv"), F.col("cvec"))
+                       / (F.col("qn") * F.col("cnorm")), 9)
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id").asc()
@@ -457,7 +490,8 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
     scored = (
         corpus.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("cos", F.round(_dot_raw(F.col("qv"), F.col("cv"))
+                                   / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

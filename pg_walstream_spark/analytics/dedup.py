@@ -615,16 +615,21 @@ def _simhash_band_candidates(sig: DataFrame, n_pieces: int = 4,
         for t, (a, b, c) in enumerate(combinations(range(6), 3))
     ]
 
-    def _side(alias: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(alias),
-            F.explode(F.array(*keys)).alias("bk"),
-        )
-
+    # pairs from ONE bucket aggregation over the 20 exploded triple keys
+    # (sorted collect + in-group combinations) instead of a 1.2M-row
+    # self-join — the same §2.4 rewrite as _band_candidates; output
+    # identical (id_a < id_b pairs sharing any key, then distinct)
+    band_rows = sig.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("bk"))
+    buckets = band_rows.groupBy("bk").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids"))
     return (
-        _side("id_a").join(_side("id_b"), on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(_ids, (a, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), "
+            "b -> struct(a AS id_a, b AS id_b))))"
+        )).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -644,23 +649,55 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
     sig = simhash_pieces(docs, n_pieces, piece_bits, text_col, id_col)
     sig = sig.persist()
     cand = _simhash_band_candidates(sig, n_pieces, piece_bits, id_col)
-    sa = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"p{p}").alias(f"pa{p}") for p in range(n_pieces)])
-    sb = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"p{p}").alias(f"pb{p}") for p in range(n_pieces)])
-    ham = None
-    for p in range(n_pieces):
-        term = F.expr(f"bit_count(pa{p} ^ pb{p})")
-        ham = term if ham is None else ham + term
-    out = (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return _eager_release(out, sig)
+    # exact hamming verify via ONE broadcast signature bundle + mapInArrow
+    # (guide §8/§4.2): the join formulation attached both piece vectors to
+    # every candidate row through two shuffle joins. Integer xor/popcount
+    # — exact; popcount via a 16-bit lookup table (numpy < 2 has no
+    # bitwise_count).
+    import numpy as np
+
+    tbl = sig.toArrow()  # also materializes the cache for the cand job
+    b_ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+    P = np.column_stack([
+        np.asarray(tbl.column(f"p{p}"), dtype=np.int64)
+        for p in range(n_pieces)
+    ])
+    sort_ix = np.argsort(b_ids, kind="stable")
+    bundle = docs.sparkSession.sparkContext.broadcast(
+        (b_ids[sort_ix], sort_ix, P))
+
+    def verify_fn(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids_sorted, perm, sigm = bundle.value
+        lut = _np.array([bin(i).count("1") for i in range(1 << 16)],
+                        _np.uint8)
+        words = sigm.shape[1] * 4  # uint16 words per row
+        for bt in batches:
+            ia = _np.asarray(bt.column("id_a"), dtype=_np.int64)
+            ib = _np.asarray(bt.column("id_b"), dtype=_np.int64)
+            if len(ia) == 0:
+                continue
+            ra = perm[_np.searchsorted(ids_sorted, ia)]
+            rb = perm[_np.searchsorted(ids_sorted, ib)]
+            x = (sigm[ra] ^ sigm[rb]).view(_np.uint16).reshape(-1, words)
+            ham = lut[x].sum(axis=1).astype(_np.int32)
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            yield _pa.RecordBatch.from_pydict({
+                "id_a": _pa.array(ia[keep]),
+                "id_b": _pa.array(ib[keep]),
+                "hamming": _pa.array(ham[keep]),
+            })
+
+    out = cand.mapInArrow(verify_fn, "id_a long, id_b long, hamming int")
+    res = _eager_release(out, sig)
+    if res is out:
+        return res  # distributed result may recompute — keep the bundle
+    bundle.destroy()
+    return res
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,

@@ -465,7 +465,9 @@ def ann_ivf(emb: DataFrame, query_ids: list[int], k: int = 5,
             F.col("_n").alias("cnorm"),
         )
         assign = ivf_assignments(emb, n_centroids, vec_col, id_col)
-    corpus = base.join(assign, on=id_col).select(
+    # broadcast the (id, cell) assignment — two ints per corpus row — so
+    # the vector-carrying side is never shuffled for this join
+    corpus = base.join(F.broadcast(assign), on=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("_n").alias("cn"), "cell",
     )

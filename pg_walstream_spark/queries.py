@@ -705,8 +705,9 @@ def _neardup_embeddings(spark, sf_dir):
     Everything is double on both engines so scores match bit-for-bit."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))")
-        .alias("embedding"),
+        # native array cast, not a transform lambda: same exact values,
+        # no interpreted per-element closure on the 20k-row branch
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
     dups = _t(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 5 == 0

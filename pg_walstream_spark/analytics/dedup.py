@@ -62,18 +62,25 @@ def _eager_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     operator evaluates eagerly, frees the caches deterministically, and
     returns the small result as a driver-local DataFrame. Results past
     ``_DRIVER_RESULT_CAP`` rows stay distributed and cached (one bounded
-    result cache, caller-owned) instead of flooding the driver."""
+    result cache, caller-owned) instead of flooding the driver.
+
+    The size guard rides the collect itself: ONE probe action ships at
+    most CAP+1 rows (Arrow batches — one driver hop, not two as the
+    round-3 toPandas path). The round-3..7 form paid persist + a count
+    job + a second collect job per operator; the probe halves the action
+    count on the near-universal under-cap path. An over-cap result pays
+    one recompute into a caller-owned cache — the rare path funds the
+    common one."""
     spark = result.sparkSession
-    out = result.persist()
     try:
-        n = out.count()
-        if n > _DRIVER_RESULT_CAP:
-            return out
-        # Arrow-native collect/rebuild: one driver hop (Arrow batches),
-        # not two (Arrow → pandas → Arrow) as the round-3 toPandas path
-        tbl = out.toArrow()
-        out.unpersist()
-        return spark.createDataFrame(tbl, schema=result.schema)
+        tbl = result.limit(_DRIVER_RESULT_CAP + 1).toArrow()
+        if tbl.num_rows <= _DRIVER_RESULT_CAP:
+            return spark.createDataFrame(tbl, schema=result.schema)
+        result.persist()
+        # populate the cache while the pinned inputs are still cached
+        # (callers identity-check the returned object: keep it `result`)
+        result.count()
+        return result
     finally:
         for p in pinned:
             p.unpersist()

@@ -84,3 +84,38 @@ def test_simhash_kernel_mixed_case_and_digits(spark):
     expr = {r["doc_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
             for r in dd.simhash_pieces_expr(docs).collect()}
     assert rows == expr
+
+
+def test_eager_release_under_cap_single_local_result(spark):
+    """The probe release must return a driver-local result with exactly
+    the pipeline's rows and leave no cached RDDs behind (the caller's
+    pinned caches are released, and the under-cap path itself never
+    persists)."""
+    src = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")).persist()
+    out = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    res = dd._eager_release(out, src)
+    assert res is not out  # rebuilt local relation, not the lazy plan
+    got = sorted(map(tuple, res.collect()))
+    assert got == sorted(map(tuple, (
+        spark.range(0, 1000).select((F.col("id") % 7).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect())))
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_eager_release_over_cap_stays_distributed(spark, monkeypatch):
+    """Past _DRIVER_RESULT_CAP the result must come back AS the input
+    DataFrame object (callers identity-check it to keep broadcast bundles
+    alive), persisted, with the pinned inputs released."""
+    monkeypatch.setattr(dd, "_DRIVER_RESULT_CAP", 10)
+    src = spark.range(0, 500).select(F.col("id")).persist()
+    out = src.select((F.col("id") * 2).alias("x"))
+    res = dd._eager_release(out, src)
+    try:
+        assert res is out
+        assert res.storageLevel.useMemory  # caller-owned cache
+        assert res.count() == 500
+        # the pinned input was released; only the result cache remains
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 1
+    finally:
+        res.unpersist()

@@ -91,6 +91,7 @@ def test_eager_release_under_cap_single_local_result(spark):
     the pipeline's rows and leave no cached RDDs behind (the caller's
     pinned caches are released, and the under-cap path itself never
     persists)."""
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     src = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 7).alias("g")).persist()
     out = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
@@ -100,7 +101,8 @@ def test_eager_release_under_cap_single_local_result(spark):
     assert got == sorted(map(tuple, (
         spark.range(0, 1000).select((F.col("id") % 7).alias("g"))
         .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect())))
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # no NET new caches (other suites may share the session with their own)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
 
 
 def test_eager_release_over_cap_stays_distributed(spark, monkeypatch):
@@ -108,6 +110,7 @@ def test_eager_release_over_cap_stays_distributed(spark, monkeypatch):
     DataFrame object (callers identity-check it to keep broadcast bundles
     alive), persisted, with the pinned inputs released."""
     monkeypatch.setattr(dd, "_DRIVER_RESULT_CAP", 10)
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     src = spark.range(0, 500).select(F.col("id")).persist()
     out = src.select((F.col("id") * 2).alias("x"))
     res = dd._eager_release(out, src)
@@ -115,7 +118,8 @@ def test_eager_release_over_cap_stays_distributed(spark, monkeypatch):
         assert res is out
         assert res.storageLevel.useMemory  # caller-owned cache
         assert res.count() == 500
-        # the pinned input was released; only the result cache remains
-        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 1
+        # the pinned input was released; one NET new cache — the result's
+        assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+                == n_before + 1)
     finally:
         res.unpersist()
